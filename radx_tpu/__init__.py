@@ -1,0 +1,21 @@
+"""radx_tpu — a TPU-native vectorized query-execution engine.
+
+Built from scratch (JAX / XLA / Pallas / pjit) with the capabilities of the
+RadX Vulkan radix-sort library (/root/reference), re-designed TPU-first:
+
+  * LSD radix sort of uint32 keys (+ payload) as Pallas kernels — per-tile
+    digit histogram → hierarchical prefix scan → stable rank-and-scatter,
+    ping-ponged across 4×8-bit passes.  RadX's subgroup-partitioned ballot
+    ranking (ballotlib.glsl:112-144) becomes one-hot / nibble-outer-product
+    matmul ranking on the MXU in VMEM tiles.
+  * Relational operators on the same primitives: filter, hash aggregate,
+    hash join (radix-partitioned build/probe).
+  * Multi-chip / multi-host scaling via jax.sharding.Mesh + shard_map:
+    MSD-first distributed shuffle with skew-aware digit splitting and
+    all_to_all key exchange.
+  * Bit-exact CPU oracles (NumPy + native C++) as the correctness gate.
+"""
+
+from radx_tpu.config import SortConfig, DEFAULT  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,100 @@
+"""Single source of truth for every grid/tile constant in the engine.
+
+The reference hard-codes its grid constants in *two* places (host
+``groupX=108`` at radx_internal.hpp:143 vs. shader ``WG_COUNT`` 108/144/72 at
+{RadX2-SM7-DEV,radix,radix-rapid}/partition.comp:14) and ships with a live
+host/shader mismatch on two of its four shader variants.  We derive every
+constant — digit width, pass count, tile shape, scatter strategy — from one
+frozen dataclass shared by the host orchestration and the Pallas kernels, so
+that class of bug cannot exist here.
+
+Reference parity notes:
+  * ``bits_per_pass`` replaces the compile-time digit-width fork
+    (8 bits / 4 passes on Turing, RadX2-SM7-DEV/includes.glsl:21-26;
+    2 bits / 16 passes elsewhere, radix/includes.glsl:34-38).  Here it is a
+    runtime-static parameter of a single kernel family.
+  * ``tile_rows`` × 128 lanes is our analogue of RadX's per-workgroup block
+    (``get_blocks_info``, RadX2-SM7-DEV/includes.glsl:171-182): each Pallas
+    grid step owns one contiguous tile of keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+LANES = 128  # TPU vector lane count — last dim of every VMEM tile.
+
+
+@dataclasses.dataclass(frozen=True)
+class SortConfig:
+    """Configuration for the LSD radix sort pipeline.
+
+    Attributes:
+      key_bits: total key width (uint32 → 32).
+      bits_per_pass: digit width per LSD pass (8 → 256 radices, 4 passes).
+      tile_rows: sublane rows per tile; tile holds ``tile_rows * 128`` keys.
+      scatter: global-permute strategy —
+        ``"onehot"``: fully in-kernel permutation via one-hot matmuls (MXU);
+        ``"xla"``: destinations from Pallas kernels, permute via XLA scatter;
+        ``"sort"``: destinations from Pallas kernels, permute via lax.sort
+        (fast, used as a fallback oracle for the kernel paths).
+      interpret: run Pallas kernels in interpreter mode (CPU CI — the
+        analogue of RadX's lowest-common-denominator "universal" SPIR-V
+        variant, radx_shaders.hpp:10,109).
+    """
+
+    key_bits: int = 32
+    bits_per_pass: int = 8
+    tile_rows: int = 16
+    scatter: str = "onehot"
+    interpret: bool | None = None  # None → auto (interpret iff no TPU)
+
+    @property
+    def radix(self) -> int:
+        return 1 << self.bits_per_pass
+
+    @property
+    def num_passes(self) -> int:
+        return -(-self.key_bits // self.bits_per_pass)
+
+    @property
+    def tile_elems(self) -> int:
+        return self.tile_rows * LANES
+
+    @property
+    def digit_mask(self) -> int:
+        return self.radix - 1
+
+    def __post_init__(self):
+        if self.bits_per_pass not in (1, 2, 4, 8, 16):
+            raise ValueError(f"unsupported bits_per_pass={self.bits_per_pass}")
+        if self.tile_rows < 1:
+            raise ValueError("tile_rows must be >= 1")
+        if self.scatter not in ("onehot", "xla", "sort"):
+            raise ValueError(f"unknown scatter strategy {self.scatter!r}")
+
+
+@functools.cache
+def _has_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def resolve_interpret(cfg: SortConfig) -> bool:
+    """Interpreter mode: explicit flag wins, else interpret iff not on TPU."""
+    if cfg.interpret is not None:
+        return cfg.interpret
+    return not _has_tpu()
+
+
+def cdiv(a: int, b: int) -> int:
+    """Ceil division (the reference's ``tiled()``, radx_utils.hpp:10-14)."""
+    return -(-a // b)
+
+
+DEFAULT = SortConfig()

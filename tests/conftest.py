@@ -1,0 +1,24 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; per the project plan, sharding is
+validated on a virtual 8-device CPU mesh and Pallas kernels run in
+interpreter mode (the analogue of RadX's 'universal' fallback variant).
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x5ADF00D)
