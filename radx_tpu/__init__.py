@@ -17,5 +17,6 @@ RadX Vulkan radix-sort library (/root/reference), re-designed TPU-first:
 """
 
 from radx_tpu.config import SortConfig, DEFAULT  # noqa: F401
+from radx_tpu.ops.sort import argsort, sort, sort_pairs  # noqa: F401
 
 __version__ = "0.1.0"

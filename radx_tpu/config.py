@@ -33,12 +33,15 @@ class SortConfig:
     Attributes:
       key_bits: total key width (uint32 → 32).
       bits_per_pass: digit width per LSD pass (8 → 256 radices, 4 passes).
-      tile_rows: sublane rows per tile; tile holds ``tile_rows * 128`` keys.
-      scatter: global-permute strategy —
-        ``"onehot"``: fully in-kernel permutation via one-hot matmuls (MXU);
-        ``"xla"``: destinations from Pallas kernels, permute via XLA scatter;
-        ``"sort"``: destinations from Pallas kernels, permute via lax.sort
-        (fast, used as a fallback oracle for the kernel paths).
+      tile_rows: sublane rows per tile; tile holds ``tile_rows * 128`` keys
+        (radix-pipeline granularity: histograms, ranks, relational ops).
+      strategy: single-chip sort strategy —
+        ``"bitonic"``: flagship Pallas bitonic merge network (static data
+        movement; kernels/bitonic.py);
+        ``"lax"``: jax.lax.sort fallback — the analogue of RadX's
+        lowest-common-denominator "universal" SPIR-V variant.
+      chunk_rows: bitonic VMEM chunk height; one chunk = chunk_rows*128
+        elements resident in VMEM per grid step.
       interpret: run Pallas kernels in interpreter mode (CPU CI — the
         analogue of RadX's lowest-common-denominator "universal" SPIR-V
         variant, radx_shaders.hpp:10,109).
@@ -47,7 +50,8 @@ class SortConfig:
     key_bits: int = 32
     bits_per_pass: int = 8
     tile_rows: int = 16
-    scatter: str = "onehot"
+    strategy: str = "bitonic"
+    chunk_rows: int = 2048  # bitonic VMEM chunk = chunk_rows*128 elements
     interpret: bool | None = None  # None → auto (interpret iff no TPU)
 
     @property
@@ -71,8 +75,10 @@ class SortConfig:
             raise ValueError(f"unsupported bits_per_pass={self.bits_per_pass}")
         if self.tile_rows < 1:
             raise ValueError("tile_rows must be >= 1")
-        if self.scatter not in ("onehot", "xla", "sort"):
-            raise ValueError(f"unknown scatter strategy {self.scatter!r}")
+        if self.strategy not in ("bitonic", "lax"):
+            raise ValueError(f"unknown sort strategy {self.strategy!r}")
+        if self.chunk_rows < 8 or self.chunk_rows & (self.chunk_rows - 1):
+            raise ValueError("chunk_rows must be a power of two >= 8")
 
 
 @functools.cache

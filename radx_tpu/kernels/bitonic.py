@@ -1,0 +1,270 @@
+"""Bitonic merge-sort in Pallas — the flagship single-chip sort pipeline.
+
+Why bitonic and not a literal port of RadX's scatter-based radix passes
+(RadX2-SM7-DEV/scattering.comp:125-127): TPUs have no random-access scatter —
+the measured XLA scatter/gather/sort primitives (tools/probe_one.py) run well
+under 1 G keys/s because they serialize.  A bitonic network's data movement
+is *static*: every exchange is a cyclic roll (lane/sublane rotate) or a
+block-pair exchange with compile-time index maps, which Mosaic lowers to
+full-rate vector ops and DMA.  Compare-exchange is pure VPU.
+
+Structure (network over flat element index, length padded to a power of two):
+
+  1. `_chunk_sort_kernel` — grid over chunks of C = chunk_rows*128 elements
+     held in VMEM; runs bitonic stages 1..log2(C).  The final stage's
+     direction depends on bit log2(C) of the *global* flat index, i.e. chunk
+     parity, so chunks emerge sorted in alternating directions — exactly
+     what the cross-chunk merge expects.
+  2. per merge level kk (span 2^kk > C):
+     a. `_cross_stage_kernel` for distances d = 2^(kk-1) .. C — the partner
+        lives in a different chunk.  The array is viewed as
+        (A, 2, J, c_rows, 128) with J = d/C so the low/high chunks of every
+        pair form one rectangular block; grid over (A, J); no rolls at all.
+     b. `_finish_kernel` — one call running all remaining distances
+        C/2 .. 1 of this level inside VMEM.
+
+Direction rule (standard bitonic): element e ascends at level kk iff bit kk
+of its global flat index is 0.  Inside kernels the global index is
+g*C + local_flat (i32 — total length is capped well below 2^31 per chip), so
+one formula covers both the intra-chunk and chunk-parity bits.  Partner of e
+at distance d is e ^ d; cyclic rolls realise the XOR because spans are powers
+of two, so the roll each lane selects never wraps for that lane.
+
+Mask discipline: Mosaic cannot lower scalar-bool broadcasts or bool==bool at
+wide shapes ("unsupported target bitwidth for truncation"), so all selection
+logic here is i32 {0,1} arithmetic; booleans only ever appear as the final
+`!= 0` feeding a jnp.where.
+
+Sort order: ascending by i32 planes[0]; callers pre-bias uint32 keys by
+XOR 0x80000000 (ops/sort.py) so unsigned order maps to signed order.
+Stability: `num_cmp=2` compares (planes[0], planes[1]) lexicographically —
+callers pass the original index as plane 1 to make the sort stable (the
+property RadX never tests, SURVEY §4); further planes (payload) ride along
+through the exchanges untouched.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _log2(x: int) -> int:
+    assert x > 0 and (x & (x - 1)) == 0, f"{x} not a power of two"
+    return x.bit_length() - 1
+
+
+def _flat_iota(rows):
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    return r * LANES + l
+
+
+def _partner(x, d, flat):
+    """Value at flat index (flat ^ d) for dynamic power-of-two d.
+
+    Lanes with bit d clear need the value d ahead (roll by -d); lanes with it
+    set need the value d behind (roll by +d).  Because every span is a power
+    of two, the roll each lane selects never wraps for that lane.
+    """
+    lane_sh = d & jnp.int32(LANES - 1)
+    row_sh = d >> jnp.int32(7)
+    plus = pltpu.roll(pltpu.roll(x, -lane_sh, 1), -row_sh, 0)
+    minus = pltpu.roll(pltpu.roll(x, lane_sh, 1), row_sh, 0)
+    return jnp.where((flat & d) != 0, minus, plus)
+
+
+def _exchange(planes, partners, keep_min_i, num_cmp):
+    """Keep elementwise min where keep_min_i==1 else max (lexicographic)."""
+    x0, p0 = planes[0], partners[0]
+    if num_cmp == 1:
+        p_lt = (p0 < x0).astype(jnp.int32)
+        p_gt = (p0 > x0).astype(jnp.int32)
+    else:
+        x1, p1 = planes[1], partners[1]
+        eq = (p0 == x0).astype(jnp.int32)
+        p_lt = (p0 < x0).astype(jnp.int32) | (eq & (p1 < x1).astype(jnp.int32))
+        p_gt = (p0 > x0).astype(jnp.int32) | (eq & (p1 > x1).astype(jnp.int32))
+    take = (keep_min_i * p_lt + (1 - keep_min_i) * p_gt) != 0
+    return [jnp.where(take, p, x) for x, p in zip(planes, partners)]
+
+
+def _substage(planes, dj, up_i, flat, num_cmp):
+    """One compare-exchange at distance 2^dj; up_i is the i32 {0,1} mask."""
+    d = jnp.int32(1) << dj
+    partners = [_partner(x, d, flat) for x in planes]
+    high_i = (flat >> dj) & 1
+    # position with bit d clear keeps the min iff ascending: (1-high) XNOR up
+    keep_min_i = high_i ^ up_i
+    return _exchange(planes, partners, keep_min_i, num_cmp)
+
+
+def _chunk_sort_kernel(num_cmp, log_c, _scalar_ref, *refs):
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    rows = in_refs[0].shape[1]
+    flat = _flat_iota(rows)
+    gflat = flat + pl.program_id(0) * (rows * LANES)
+    planes = tuple(r[0] for r in in_refs)
+
+    def level(kk, planes):
+        up_i = 1 - ((gflat >> kk) & 1)
+
+        def sub(i, planes):
+            return tuple(_substage(list(planes), kk - 1 - i, up_i, flat, num_cmp))
+
+        return jax.lax.fori_loop(0, kk, sub, planes)
+
+    planes = jax.lax.fori_loop(1, log_c + 1, level, planes)
+    for o, x in zip(out_refs, planes):
+        o[0] = x
+
+
+def _finish_kernel(num_cmp, log_c, kk_ref, *refs):
+    """All substages of one level with distance < C, fully inside VMEM.
+
+    kk_ref is a scalar-prefetch (1,) i32 holding the level number, so one
+    compiled kernel serves every merge level (remote Mosaic compiles cost
+    tens of seconds; the level only affects the direction mask).
+    """
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    rows = in_refs[0].shape[1]
+    flat = _flat_iota(rows)
+    gflat = flat + pl.program_id(0) * (rows * LANES)
+    up_i = 1 - ((gflat >> kk_ref[0]) & 1)
+    planes = tuple(r[0] for r in in_refs)
+
+    def sub(i, planes):
+        return tuple(_substage(list(planes), log_c - 1 - i, up_i, flat, num_cmp))
+
+    planes = jax.lax.fori_loop(0, log_c, sub, planes)
+    for o, x in zip(out_refs, planes):
+        o[0] = x
+
+
+def _cross_stage_kernel(num_cmp, up_ref, *refs):
+    """Exchange chunk pairs at chunk distance J = 2^j_chunks.
+
+    Block view per plane: (1, 2, 1, c_rows, 128) — [*, 0, *] is the low
+    chunk (bit j_chunks of the chunk id clear), [*, 1, *] the high chunk.
+    up_ref is a scalar-prefetch (A,) i32 table: 1 where pair-group `a`
+    merges ascending — computed on the host per level, so one compiled
+    kernel per chunk-distance serves every level.
+    """
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    a = pl.program_id(0)
+    up_i = up_ref[a]
+
+    lo = [r[0, 0, 0] for r in in_refs]
+    hi = [r[0, 1, 0] for r in in_refs]
+    if num_cmp == 1:
+        hi_lt = (hi[0] < lo[0]).astype(jnp.int32)
+    else:
+        eq = (hi[0] == lo[0]).astype(jnp.int32)
+        hi_lt = (hi[0] < lo[0]).astype(jnp.int32) | (
+            eq & (hi[1] < lo[1]).astype(jnp.int32)
+        )
+    # ascending: low side keeps the min; descending: low side keeps the max.
+    swap = (hi_lt ^ (1 - up_i)) != 0
+    for o, x, y in zip(out_refs, lo, hi):
+        o[0, 0, 0] = jnp.where(swap, y, x)
+        o[0, 1, 0] = jnp.where(swap, x, y)
+
+
+def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
+    """Sort i32 planes (each shape (rows, 128)) ascending by planes[0]
+    (then planes[1] if num_cmp == 2) in flat row-major order.
+
+    rows*128 must be a power of two; chunk_rows*128 is the VMEM working-set
+    size per grid step (clamped to the total).  Returns the sorted planes.
+    All pallas_calls alias outputs onto inputs, so the sort is in-place at
+    the buffer level (the ping-pong the reference gets from its keys/swap
+    descriptor pair, radx_implement.inl:371-386, falls out of XLA buffer
+    donation).
+    """
+    rows = planes[0].shape[0]
+    n_planes = len(planes)
+    total = rows * LANES
+    c = min(chunk_rows * LANES, total)
+    c_rows = c // LANES
+    log_c, log_n = _log2(c), _log2(total)
+    n_chunks = total // c
+    # indices include the scalar-prefetch operand, hence the +1 shift
+    alias = {1 + i: i for i in range(n_planes)}
+
+    chunk_spec = pl.BlockSpec((1, c_rows, LANES), lambda i, s: (i, 0, 0))
+    chunk_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[chunk_spec] * n_planes,
+        out_specs=[chunk_spec] * n_planes,
+    )
+    chunk_shapes = [
+        jax.ShapeDtypeStruct((n_chunks, c_rows, LANES), p.dtype)
+        for p in planes
+    ]
+
+    def chunked_call(kernel_fn, scalar):
+        out = pl.pallas_call(
+            kernel_fn,
+            grid_spec=chunk_grid,
+            out_shape=chunk_shapes,
+            input_output_aliases=alias,
+            interpret=interpret,
+        )(scalar, *[p.reshape(n_chunks, c_rows, LANES) for p in planes])
+        return [o.reshape(rows, LANES) for o in out]
+
+    zero = jnp.zeros((1,), jnp.int32)
+    planes = chunked_call(
+        functools.partial(_chunk_sort_kernel, num_cmp, log_c), zero
+    )
+
+    finish = functools.partial(_finish_kernel, num_cmp, log_c)
+    cross = functools.partial(_cross_stage_kernel, num_cmp)
+    for kk in range(log_c + 1, log_n + 1):
+        kk_chunks = kk - log_c
+        for dj in range(kk - 1, log_c - 1, -1):
+            j_chunks = dj - log_c
+            J = 1 << j_chunks
+            A = n_chunks // (2 * J)
+            # 1 where pair-group a merges ascending (bit kk of flat index)
+            up_tab = jnp.asarray(
+                1
+                - (
+                    (np.arange(A, dtype=np.int32) >> (kk_chunks - j_chunks - 1))
+                    & 1
+                ),
+                jnp.int32,
+            )
+            spec = pl.BlockSpec(
+                (1, 2, 1, c_rows, LANES), lambda a, r, s: (a, 0, r, 0, 0)
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(A, J),
+                in_specs=[spec] * n_planes,
+                out_specs=[spec] * n_planes,
+            )
+            out = pl.pallas_call(
+                cross,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((A, 2, J, c_rows, LANES), p.dtype)
+                    for p in planes
+                ],
+                input_output_aliases=alias,
+                interpret=interpret,
+            )(up_tab, *[p.reshape(A, 2, J, c_rows, LANES) for p in planes])
+            planes = [o.reshape(rows, LANES) for o in out]
+        planes = chunked_call(finish, jnp.full((1,), kk, jnp.int32))
+
+    return planes

@@ -1,0 +1,136 @@
+"""Single-chip sort API: sort / argsort / sort_pairs over uint32 keys.
+
+Role-wise this is RadX's L4 "Sort API layer" (radx::Sort<Radix>::initialize/
+command, radx_internal.hpp:104-134): it owns buffer preparation (padding,
+sign-bias, plane packing — the analogue of InputInterface's keys/swap
+descriptor pair) and dispatches to a strategy:
+
+  * "bitonic" (default) — the flagship Pallas network (kernels/bitonic.py).
+  * "lax"               — jax.lax.sort fallback; the analogue of RadX's
+                          lowest-common-denominator "universal" SPIR-V
+                          variant (radx_shaders.hpp:10,109): correct
+                          anywhere XLA runs, never the fast path.
+
+Unlike the reference (keys only; its payload pipelines are created but never
+dispatched, radx_internal.hpp:139), payload sorting and stable argsort are
+first-class here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from radx_tpu.config import LANES, SortConfig, resolve_interpret
+from radx_tpu.kernels import bitonic
+
+_SIGN = jnp.uint32(0x80000000)
+_PAD_KEY = jnp.int32(0x7FFFFFFF)  # sign-biased 0xFFFFFFFF: sorts to the end
+
+
+def _pad_len(n: int, min_total: int = 1024) -> int:
+    total = max(min_total, n)
+    return 1 << (total - 1).bit_length()
+
+
+def _key_plane(keys, total):
+    """uint32 keys -> sign-biased i32 plane of shape (total//128, 128)."""
+    biased = (keys ^ _SIGN).astype(jnp.int32)
+    plane = jnp.full((total,), _PAD_KEY, jnp.int32).at[: keys.shape[0]].set(biased)
+    return plane.reshape(total // LANES, LANES)
+
+
+def _iota_plane(total):
+    return jax.lax.iota(jnp.int32, total).reshape(total // LANES, LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _sort_keys_jit(keys, cfg: SortConfig, n: int):
+    total = _pad_len(n)
+    plane = _key_plane(keys, total)
+    if cfg.strategy == "lax":
+        out = jax.lax.sort(plane.reshape(-1))
+    else:
+        out = bitonic.sort_planes(
+            [plane], cfg.chunk_rows, num_cmp=1,
+            interpret=resolve_interpret(cfg),
+        )[0].reshape(-1)
+    return (out[:n].astype(jnp.uint32)) ^ _SIGN
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n", "with_payload"))
+def _sort_stable_jit(keys, payload, cfg: SortConfig, n: int, with_payload):
+    total = _pad_len(n)
+    kp = _key_plane(keys, total)
+    ip = _iota_plane(total)
+    planes = [kp, ip]
+    if with_payload:
+        pp = jax.lax.bitcast_convert_type(
+            jnp.zeros((total,), payload.dtype).at[:n].set(payload), jnp.int32
+        ).reshape(total // LANES, LANES)
+        planes.append(pp)
+    if cfg.strategy == "lax":
+        flat = [p.reshape(-1) for p in planes]
+        outs = jax.lax.sort(tuple(flat), num_keys=2)
+    else:
+        outs = [
+            p.reshape(-1)
+            for p in bitonic.sort_planes(
+                planes, cfg.chunk_rows, num_cmp=2,
+                interpret=resolve_interpret(cfg),
+            )
+        ]
+    sorted_keys = (outs[0][:n].astype(jnp.uint32)) ^ _SIGN
+    perm = outs[1][:n]
+    if with_payload:
+        return sorted_keys, outs[2][:n]
+    return sorted_keys, perm
+
+
+def _as_u32(keys):
+    keys = jnp.asarray(keys)
+    if keys.dtype != jnp.uint32:
+        raise TypeError(f"keys must be uint32, got {keys.dtype}")
+    if keys.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    return keys
+
+
+def sort(keys, cfg: SortConfig | None = None):
+    """Ascending sort of uint32 keys. Returns a uint32 array of same shape."""
+    cfg = cfg or SortConfig()
+    keys = _as_u32(keys)
+    n = keys.shape[0]
+    if n <= 1:
+        return keys
+    return _sort_keys_jit(keys, cfg, n)
+
+
+def argsort(keys, cfg: SortConfig | None = None):
+    """Stable argsort: int32 permutation, ties keep original order."""
+    cfg = cfg or SortConfig()
+    keys = _as_u32(keys)
+    n = keys.shape[0]
+    if n <= 1:
+        return jnp.zeros((n,), jnp.int32)
+    return _sort_stable_jit(keys, None, cfg, n, False)[1]
+
+
+def sort_pairs(keys, payload, cfg: SortConfig | None = None):
+    """Stable key+payload sort — the capability RadX stubs but never ships
+    (indiction/permutation dispatches absent from Radix::command,
+    radx_implement.inl:421-447)."""
+    cfg = cfg or SortConfig()
+    keys = _as_u32(keys)
+    payload = jnp.asarray(payload)
+    if payload.shape != keys.shape:
+        raise ValueError("payload must match keys shape")
+    n = keys.shape[0]
+    if n <= 1:
+        return keys, payload
+    if payload.dtype.itemsize != 4:
+        raise TypeError("payload must be a 32-bit dtype")
+    k, p = _sort_stable_jit(keys, payload, cfg, n, True)
+    return k, jax.lax.bitcast_convert_type(p, payload.dtype)

@@ -8,7 +8,11 @@ Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend even when the axon TPU relay is configured in the
+# environment (sitecustomize registers it whenever PALLAS_AXON_POOL_IPS is
+# set, and it overrides JAX_PLATFORMS).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

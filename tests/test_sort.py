@@ -1,0 +1,100 @@
+"""Single-chip sort correctness: bitonic Pallas pipeline (interpret mode on
+CPU) and the lax fallback, vs np.sort and the stable-argsort oracle.
+
+The reference never asserts correctness (SURVEY §4); these are the gates the
+reference lacks: exact match, stability with duplicates, payload transport,
+and adversarial distributions (BASELINE config 1).
+"""
+
+import numpy as np
+import pytest
+
+from radx_tpu.config import SortConfig
+from radx_tpu.ops import sort as sort_mod
+
+CFG_SMALL = SortConfig(chunk_rows=8)  # many chunks: exercises merge levels
+CFG_LAX = SortConfig(strategy="lax")
+
+
+def _distributions(rng, n):
+    return {
+        "uniform": rng.integers(0, 2**32, n, dtype=np.uint32),
+        "permutation": rng.permutation(n).astype(np.uint32),
+        "constant": np.full(n, 0xDEADBEEF, dtype=np.uint32),
+        "presorted": np.arange(n, dtype=np.uint32),
+        "reverse": np.arange(n, 0, -1).astype(np.uint32),
+        "low_entropy": rng.integers(0, 16, n, dtype=np.uint32),
+        "extremes": rng.choice(
+            np.array([0, 1, 2**31, 2**32 - 1], dtype=np.uint32), n
+        ),
+    }
+
+
+@pytest.mark.parametrize("cfg", [CFG_SMALL, CFG_LAX], ids=["bitonic", "lax"])
+@pytest.mark.parametrize("n", [1, 2, 100, 1000, 4096, 20000])
+def test_sort_matches_npsort(rng, cfg, n):
+    for name, keys in _distributions(rng, n).items():
+        got = np.asarray(sort_mod.sort(keys, cfg))
+        np.testing.assert_array_equal(got, np.sort(keys), err_msg=name)
+
+
+@pytest.mark.parametrize("cfg", [CFG_SMALL, CFG_LAX], ids=["bitonic", "lax"])
+def test_argsort_stable(rng, cfg):
+    n = 20000
+    keys = rng.integers(0, 64, n, dtype=np.uint32)  # heavy duplication
+    got = np.asarray(sort_mod.argsort(keys, cfg))
+    np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
+
+
+@pytest.mark.parametrize("cfg", [CFG_SMALL, CFG_LAX], ids=["bitonic", "lax"])
+def test_sort_pairs_stable(rng, cfg):
+    n = 20000
+    keys = rng.integers(0, 256, n, dtype=np.uint32)
+    payload = np.arange(n, dtype=np.uint32)
+    k, p = sort_mod.sort_pairs(keys, payload, cfg)
+    np.testing.assert_array_equal(np.asarray(k), np.sort(keys))
+    np.testing.assert_array_equal(
+        np.asarray(p), np.argsort(keys, kind="stable")
+    )
+
+
+def test_sort_pairs_float_payload(rng):
+    n = 5000
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    payload = rng.normal(size=n).astype(np.float32)
+    k, p = sort_mod.sort_pairs(keys, payload, CFG_SMALL)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(p), payload[order])
+
+
+def test_sentinel_keys_not_confused_with_padding(rng):
+    # 0xFFFFFFFF == the padding sentinel; real keys must all survive.
+    n = 3000
+    keys = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    keys[:100] = rng.integers(0, 2**32, 100, dtype=np.uint32)
+    got = np.asarray(sort_mod.sort(keys, CFG_SMALL))
+    np.testing.assert_array_equal(got, np.sort(keys))
+    # stability among max-valued keys
+    payload = np.arange(n, dtype=np.uint32)
+    _, p = sort_mod.sort_pairs(keys, payload, CFG_SMALL)
+    np.testing.assert_array_equal(np.asarray(p), np.argsort(keys, kind="stable"))
+
+
+def test_input_validation():
+    with pytest.raises(TypeError):
+        sort_mod.sort(np.arange(4, dtype=np.int64))
+    with pytest.raises(ValueError):
+        sort_mod.sort(np.zeros((2, 2), dtype=np.uint32))
+    with pytest.raises(ValueError):
+        sort_mod.sort_pairs(
+            np.zeros(4, dtype=np.uint32), np.zeros(5, dtype=np.uint32)
+        )
+
+
+def test_vs_native_oracle(rng):
+    from radx_tpu.oracle import native
+
+    keys = rng.integers(0, 2**32, 100_000, dtype=np.uint32)
+    got = np.asarray(sort_mod.sort(keys, SortConfig(chunk_rows=64)))
+    np.testing.assert_array_equal(got, native.sort_u32(keys))
