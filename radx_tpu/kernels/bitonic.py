@@ -67,43 +67,69 @@ def _flat_iota(rows):
     return r * LANES + l
 
 
-def _partner(x, d, flat):
-    """Value at flat index (flat ^ d) for dynamic power-of-two d.
+def _substage(planes, dj, up_i, flat, num_cmp, axis=None):
+    """One compare-exchange at distance d = 2^dj; up_i is the i32 {0,1}
+    ascending mask for the current level.
 
-    Lanes with bit d clear need the value d ahead (roll by -d); lanes with it
-    set need the value d behind (roll by +d).  Because every span is a power
-    of two, the roll each lane selects never wraps for that lane.
+    Single-roll formulation: roll every plane by -d so each *pair leader*
+    (bit d clear) sees its partner; sort the pair locally (min/max or one
+    lexicographic compare), pick which value belongs to the low/high slot
+    from the direction mask, then roll the high-slot values back by +d and
+    select by position.  ~9 vector ops/plane vs ~15 for the two-roll
+    partner-select formulation.
+
+    dj may be a Python int (fully static network — static rotate amounts
+    lower to the cheapest Mosaic form) or a traced i32.
+
+    axis: 0 → d is a multiple of 128 (sublane roll only), 1 → d < 128
+    (lane roll only), None → composite roll (d may straddle; used by tests).
     """
-    lane_sh = d & jnp.int32(LANES - 1)
-    row_sh = d >> jnp.int32(7)
-    plus = pltpu.roll(pltpu.roll(x, -lane_sh, 1), -row_sh, 0)
-    minus = pltpu.roll(pltpu.roll(x, lane_sh, 1), row_sh, 0)
-    return jnp.where((flat & d) != 0, minus, plus)
+    static = isinstance(dj, int)
+    d = (1 << dj) if static else (jnp.int32(1) << dj)
 
+    def roll(x, sh, ax):
+        if isinstance(sh, int):
+            sh %= x.shape[ax]  # static negative shifts are rejected
+        return pltpu.roll(x, sh, ax)
 
-def _exchange(planes, partners, keep_min_i, num_cmp):
-    """Keep elementwise min where keep_min_i==1 else max (lexicographic)."""
-    x0, p0 = planes[0], partners[0]
+    def fwd(x):
+        if axis == 0:
+            return roll(x, -(d >> 7), 0)
+        if axis == 1:
+            return roll(x, -d, 1)
+        return roll(roll(x, -(d & (LANES - 1)), 1), -(d >> 7), 0)
+
+    def bwd(x):
+        if axis == 0:
+            return roll(x, d >> 7, 0)
+        if axis == 1:
+            return roll(x, d, 1)
+        return roll(roll(x, d & (LANES - 1), 1), d >> 7, 0)
+
+    ys = [fwd(x) for x in planes]
+    x0, y0 = planes[0], ys[0]
     if num_cmp == 1:
-        p_lt = (p0 < x0).astype(jnp.int32)
-        p_gt = (p0 > x0).astype(jnp.int32)
+        lo = [jnp.minimum(x0, y0)]
+        hi = [jnp.maximum(x0, y0)]
+        rest = planes[1:]
+        if rest:  # payload planes follow the key plane's comparison
+            y_lt = y0 < x0
+            lo += [jnp.where(y_lt, y, x) for x, y in zip(rest, ys[1:])]
+            hi += [jnp.where(y_lt, x, y) for x, y in zip(rest, ys[1:])]
     else:
-        x1, p1 = planes[1], partners[1]
-        eq = (p0 == x0).astype(jnp.int32)
-        p_lt = (p0 < x0).astype(jnp.int32) | (eq & (p1 < x1).astype(jnp.int32))
-        p_gt = (p0 > x0).astype(jnp.int32) | (eq & (p1 > x1).astype(jnp.int32))
-    take = (keep_min_i * p_lt + (1 - keep_min_i) * p_gt) != 0
-    return [jnp.where(take, p, x) for x, p in zip(planes, partners)]
+        x1, y1 = planes[1], ys[1]
+        y_lt = (y0 < x0) | ((y0 == x0) & (y1 < x1))
+        lo = [jnp.where(y_lt, y, x) for x, y in zip(planes, ys)]
+        hi = [jnp.where(y_lt, x, y) for x, y in zip(planes, ys)]
 
-
-def _substage(planes, dj, up_i, flat, num_cmp):
-    """One compare-exchange at distance 2^dj; up_i is the i32 {0,1} mask."""
-    d = jnp.int32(1) << dj
-    partners = [_partner(x, d, flat) for x in planes]
-    high_i = (flat >> dj) & 1
-    # position with bit d clear keeps the min iff ascending: (1-high) XNOR up
-    keep_min_i = high_i ^ up_i
-    return _exchange(planes, partners, keep_min_i, num_cmp)
+    up = up_i != 0
+    is_high = (flat & d) != 0
+    out = []
+    for l, h in zip(lo, hi):
+        chosen_low = jnp.where(up, l, h)
+        chosen_high = jnp.where(up, h, l)
+        out.append(jnp.where(is_high, bwd(chosen_high), chosen_low))
+    return out
 
 
 def _chunk_sort_kernel(num_cmp, log_c, _scalar_ref, *refs):
@@ -114,15 +140,15 @@ def _chunk_sort_kernel(num_cmp, log_c, _scalar_ref, *refs):
     gflat = flat + pl.program_id(0) * (rows * LANES)
     planes = tuple(r[0] for r in in_refs)
 
-    def level(kk, planes):
+    # Fully static network: every roll distance is a compile-time constant.
+    planes = list(planes)
+    for kk in range(1, log_c + 1):
         up_i = 1 - ((gflat >> kk) & 1)
-
-        def sub(i, planes):
-            return tuple(_substage(list(planes), kk - 1 - i, up_i, flat, num_cmp))
-
-        return jax.lax.fori_loop(0, kk, sub, planes)
-
-    planes = jax.lax.fori_loop(1, log_c + 1, level, planes)
+        for dj in range(kk - 1, -1, -1):
+            # Distances >= 128 need sublane rolls only; < 128 lane rolls only.
+            planes = _substage(
+                planes, dj, up_i, flat, num_cmp, axis=0 if dj >= 7 else 1
+            )
     for o, x in zip(out_refs, planes):
         o[0] = x
 
@@ -140,12 +166,11 @@ def _finish_kernel(num_cmp, log_c, kk_ref, *refs):
     flat = _flat_iota(rows)
     gflat = flat + pl.program_id(0) * (rows * LANES)
     up_i = 1 - ((gflat >> kk_ref[0]) & 1)
-    planes = tuple(r[0] for r in in_refs)
-
-    def sub(i, planes):
-        return tuple(_substage(list(planes), log_c - 1 - i, up_i, flat, num_cmp))
-
-    planes = jax.lax.fori_loop(0, log_c, sub, planes)
+    planes = list(r[0] for r in in_refs)
+    for dj in range(log_c - 1, -1, -1):
+        planes = _substage(
+            planes, dj, up_i, flat, num_cmp, axis=0 if dj >= 7 else 1
+        )
     for o, x in zip(out_refs, planes):
         o[0] = x
 
@@ -213,12 +238,21 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
         for p in planes
     ]
 
+    # The unrolled networks keep many chunk-sized temporaries live; the
+    # default 16 MiB scoped-vmem budget is too small for 1 MiB chunks.
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    )
+
     def chunked_call(kernel_fn, scalar):
         out = pl.pallas_call(
             kernel_fn,
             grid_spec=chunk_grid,
             out_shape=chunk_shapes,
             input_output_aliases=alias,
+            compiler_params=params,
             interpret=interpret,
         )(scalar, *[p.reshape(n_chunks, c_rows, LANES) for p in planes])
         return [o.reshape(rows, LANES) for o in out]
@@ -262,6 +296,7 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
                     for p in planes
                 ],
                 input_output_aliases=alias,
+                compiler_params=params,
                 interpret=interpret,
             )(up_tab, *[p.reshape(A, 2, J, c_rows, LANES) for p in planes])
             planes = [o.reshape(rows, LANES) for o in out]

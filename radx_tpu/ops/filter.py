@@ -1,0 +1,78 @@
+"""Filter (predicate → compaction) — BASELINE config 3's first half.
+
+TPU-native design: compaction is a *stable partition*, i.e. a 1-bit radix
+pass — exactly the degenerate case of the sort engine (a predicate is a
+1-bit digit).  We run the bitonic pipeline keyed on (1 - mask) with the
+original index as tiebreak, which moves kept rows to the front in original
+order with no scatter.  The reference has no relational layer at all; this
+is the "filter" operator demanded by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from radx_tpu.config import LANES, SortConfig, resolve_interpret
+from radx_tpu.kernels import bitonic
+
+
+def _pad_total(n: int) -> int:
+    return 1 << (max(n, 1024) - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _compact_jit(mask, cols, cfg: SortConfig, n: int):
+    total = _pad_total(n)
+
+    def plane(x, fill):
+        return (
+            jnp.full((total,), fill, jnp.int32)
+            .at[:n]
+            .set(x.astype(jnp.int32))
+            .reshape(total // LANES, LANES)
+        )
+
+    notmask = plane(1 - mask.astype(jnp.int32), 2)  # padding sorts last
+    idx = plane(jax.lax.iota(jnp.int32, n), 0)
+    col_planes = [
+        jax.lax.bitcast_convert_type(
+            jnp.zeros((total,), c.dtype).at[:n].set(c), jnp.int32
+        ).reshape(total // LANES, LANES)
+        for c in cols
+    ]
+    outs = bitonic.sort_planes(
+        [notmask, idx] + col_planes,
+        cfg.chunk_rows,
+        num_cmp=2,
+        interpret=resolve_interpret(cfg),
+    )
+    count = jnp.sum(mask.astype(jnp.int32))
+    compacted = [o.reshape(-1)[:n] for o in outs[2:]]
+    return compacted, count
+
+
+def filter_columns(mask, cols, cfg: SortConfig | None = None):
+    """Stable compaction of 32-bit columns by a boolean/0-1 mask.
+
+    Returns (cols_out, count): each column reordered so rows where mask!=0
+    occupy the first `count` slots in original order; the tail is garbage.
+    """
+    cfg = cfg or SortConfig()
+    mask = jnp.asarray(mask)
+    cols = [jnp.asarray(c) for c in cols]
+    n = mask.shape[0]
+    for c in cols:
+        if c.shape != (n,):
+            raise ValueError("all columns must match mask shape")
+        if c.dtype.itemsize != 4:
+            raise TypeError("columns must be 32-bit dtypes")
+    if n == 0:
+        return cols, jnp.int32(0)
+    compacted, count = _compact_jit(mask, cols, cfg, n)
+    return [
+        jax.lax.bitcast_convert_type(o, c.dtype)
+        for o, c in zip(compacted, cols)
+    ], count

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# sitecustomize (axon relay) may already have imported jax and pointed it at
+# the TPU tunnel; override back to CPU before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,87 @@
+"""Relational operators (filter / groupby / join) vs NumPy reference
+semantics — BASELINE configs 3-4 at correctness scale."""
+
+import numpy as np
+import pytest
+
+from radx_tpu.config import SortConfig
+from radx_tpu.ops.filter import filter_columns
+from radx_tpu.ops.groupby import groupby
+from radx_tpu.ops.join import join_inner
+
+CFG = SortConfig(chunk_rows=8)
+
+
+def test_filter_stable(rng):
+    n = 10000
+    vals = rng.integers(0, 2**32, n, dtype=np.uint32)
+    extra = rng.normal(size=n).astype(np.float32)
+    mask = (vals % 3 == 0).astype(np.int32)
+    (v_out, e_out), count = filter_columns(mask, [vals, extra], CFG)
+    count = int(count)
+    assert count == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(v_out)[:count], vals[mask != 0])
+    np.testing.assert_array_equal(np.asarray(e_out)[:count], extra[mask != 0])
+
+
+def test_filter_all_and_none(rng):
+    vals = rng.integers(0, 100, 1000, dtype=np.uint32)
+    (out,), count = filter_columns(np.ones(1000, np.int32), [vals], CFG)
+    assert int(count) == 1000
+    np.testing.assert_array_equal(np.asarray(out), vals)
+    (_, ), count = filter_columns(np.zeros(1000, np.int32), [vals], CFG)
+    assert int(count) == 0
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+def test_groupby(rng, agg):
+    n = 20000
+    keys = rng.integers(0, 50, n, dtype=np.uint32) * 7919
+    vals = rng.integers(0, 1000, n, dtype=np.uint32)
+    uk, out, ng = groupby(keys, vals, agg, CFG)
+    ng = int(ng)
+    uniq = np.unique(keys)
+    assert ng == uniq.size
+    np.testing.assert_array_equal(np.asarray(uk)[:ng], uniq)
+    ref = {
+        "sum": lambda m: vals[m].sum(dtype=np.uint32),
+        "count": lambda m: m.sum(),
+        "min": lambda m: vals[m].min(),
+        "max": lambda m: vals[m].max(),
+    }[agg]
+    got = np.asarray(out)[:ng]
+    want = np.array([ref(keys == u) for u in uniq], dtype=got.dtype)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_join_unique_keys(rng):
+    nb, np_ = 5000, 3000
+    bk = rng.permutation(100_000)[:nb].astype(np.uint32)
+    bv = rng.integers(0, 2**32, nb, dtype=np.uint32)
+    pk = np.concatenate([bk[:1500], (rng.integers(2**31, 2**32, np_ - 1500)).astype(np.uint32)])
+    pv = np.arange(np_, dtype=np.uint32)
+    k, bvo, pvo, valid, trunc = join_inner(bk, bv, pk, pv, max_matches=1, cfg=CFG)
+    assert not bool(trunc)
+    valid = np.asarray(valid)
+    build_map = dict(zip(bk.tolist(), bv.tolist()))
+    for i in range(np_):
+        expect = pk[i].item() in build_map
+        assert bool(valid[i, 0]) == expect, i
+        if expect:
+            assert np.asarray(bvo)[i, 0] == build_map[pk[i].item()]
+            assert np.asarray(pvo)[i, 0] == pv[i]
+
+
+def test_join_duplicates(rng):
+    bk = np.array([5, 5, 5, 9, 9, 1], dtype=np.uint32)
+    bv = np.arange(6, dtype=np.uint32)
+    pk = np.array([5, 9, 2], dtype=np.uint32)
+    pv = np.array([100, 200, 300], dtype=np.uint32)
+    k, bvo, pvo, valid, trunc = join_inner(bk, bv, pk, pv, max_matches=4, cfg=CFG)
+    assert not bool(trunc)
+    v = np.asarray(valid)
+    assert v[0].sum() == 3 and v[1].sum() == 2 and v[2].sum() == 0
+    assert set(np.asarray(bvo)[0][v[0]].tolist()) == {0, 1, 2}
+    # truncation flag
+    *_, trunc = join_inner(bk, bv, pk, pv, max_matches=2, cfg=CFG)
+    assert bool(trunc)
