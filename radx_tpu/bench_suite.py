@@ -1,0 +1,132 @@
+"""Benchmark suite CLI — the analogue of the reference's test/benchmark app
+(rad::TestSort, src/test/sort.cpp:246-483), with structured metrics instead
+of raw prints and a correctness gate on every timed artifact (the reference
+times but never checks, SURVEY §4).
+
+Usage:
+  python -m radx_tpu.bench_suite [--configs sort_small,sort_large,...]
+Prints one metrics row per config and a JSON summary line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _sort_bench(n, name):
+    import jax.numpy as jnp
+
+    from radx_tpu import runtime
+    from radx_tpu.config import SortConfig, resolve_interpret
+    from radx_tpu.kernels import bitonic
+    from radx_tpu.utils import time_op
+
+    cfg = SortConfig()
+    interpret = resolve_interpret(cfg)
+    if interpret:
+        n = min(n, 1 << 16)
+    keys = runtime.gen_permutation(n, seed=1)
+    plane = jnp.asarray(
+        (keys ^ np.uint32(0x80000000)).astype(np.int32).reshape(-1, 128)
+    )
+
+    def op(p):
+        return bitonic.sort_planes(
+            [p], cfg.chunk_rows, num_cmp=1, interpret=interpret
+        )[0]
+
+    m = time_op(op, plane, name=name, items=n, bytes_moved=8 * n)
+    # correctness gate via the native validator
+    import jax
+
+    out = np.asarray(jax.device_get(jax.jit(op)(plane))).reshape(-1)
+    out = out.astype(np.uint32) ^ np.uint32(0x80000000)
+    assert runtime.validate_sort(keys, out) == 0, "sort output invalid!"
+    return m
+
+
+def _pairs_bench(n, name):
+    import jax.numpy as jnp
+
+    from radx_tpu import runtime
+    from radx_tpu.config import SortConfig, resolve_interpret
+    from radx_tpu.kernels import bitonic
+    from radx_tpu.utils import time_op
+
+    cfg = SortConfig(chunk_rows=512)  # smaller network: 3-plane compile cost
+    interpret = resolve_interpret(cfg)
+    if interpret:
+        n = min(n, 1 << 15)
+    keys = runtime.gen_uniform(n, seed=2)
+    kp = jnp.asarray((keys ^ np.uint32(0x80000000)).astype(np.int32).reshape(-1, 128))
+    ip = jnp.asarray(np.arange(n, dtype=np.int32).reshape(-1, 128))
+    vp = jnp.asarray(np.arange(n, dtype=np.int32).reshape(-1, 128))
+
+    def op(planes):
+        return tuple(
+            bitonic.sort_planes(
+                list(planes), cfg.chunk_rows, num_cmp=2, interpret=interpret
+            )
+        )
+
+    m = time_op(op, (kp, ip, vp), name=name, items=n, bytes_moved=24 * n)
+    return m
+
+
+def _groupby_bench(n, name):
+    from radx_tpu import runtime
+    from radx_tpu.config import SortConfig, resolve_interpret
+    from radx_tpu.ops.groupby import groupby
+    import jax
+    import jax.numpy as jnp
+
+    cfg = SortConfig(chunk_rows=512)
+    if resolve_interpret(cfg):
+        n = min(n, 1 << 15)
+    keys = (runtime.gen_uniform(n, seed=3) % 10007).astype(np.uint32)
+    vals = runtime.gen_uniform(n, seed=4)
+    from radx_tpu.utils import Metrics
+    import time as _t
+
+    kj, vj = jnp.asarray(keys), jnp.asarray(vals)
+    f = jax.jit(lambda k, v: groupby(k, v, "sum", cfg))
+    jax.device_get(jax.tree.leaves(f(kj, vj))[0][:8])
+    t0 = _t.perf_counter()
+    jax.device_get(jax.tree.leaves(f(kj, vj))[0][:8])
+    dt = _t.perf_counter() - t0
+    return Metrics(name=name, seconds=dt, items=n, bytes_moved=16 * n)
+
+
+CONFIGS = {
+    "sort_8m": lambda: _sort_bench(1 << 23, "sort_u32 2^23"),
+    "sort_64m": lambda: _sort_bench(1 << 26, "sort_u32 2^26"),
+    "pairs_4m": lambda: _pairs_bench(1 << 22, "sort_pairs 2^22"),
+    "groupby_4m": lambda: _groupby_bench(1 << 22, "groupby_sum 2^22"),
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="sort_8m")
+    args = ap.parse_args(argv)
+    rows = []
+    for name in args.configs.split(","):
+        name = name.strip()
+        if name not in CONFIGS:
+            print(f"unknown config {name!r}; have {sorted(CONFIGS)}")
+            return 2
+        m = CONFIGS[name]()
+        print(m.row(), flush=True)
+        rows.append(
+            {"config": name, "seconds": m.seconds, "items_per_s": m.items_per_s}
+        )
+    print(json.dumps({"suite": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
