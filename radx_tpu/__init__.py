@@ -16,7 +16,30 @@ RadX Vulkan radix-sort library (/root/reference), re-designed TPU-first:
   * Bit-exact CPU oracles (NumPy + native C++) as the correctness gate.
 """
 
-from radx_tpu.config import SortConfig, DEFAULT  # noqa: F401
-from radx_tpu.ops.sort import argsort, sort, sort_pairs  # noqa: F401
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compile cache — the analogue of the reference's
+    vk::PipelineCache (radx_implement.inl:269-273), which it creates but
+    never serializes.  Ours persists across processes: remote Mosaic
+    compiles of the unrolled sort networks cost minutes, once."""
+    try:
+        import jax
+
+        cache = _os.environ.get(
+            "RADX_TPU_CACHE",
+            _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+from radx_tpu.config import SortConfig, DEFAULT  # noqa: F401,E402
+from radx_tpu.ops.sort import argsort, sort, sort_pairs  # noqa: F401,E402
 
 __version__ = "0.1.0"

@@ -52,6 +52,10 @@ class SortConfig:
     tile_rows: int = 16
     strategy: str = "bitonic"
     chunk_rows: int = 2048  # bitonic VMEM chunk = chunk_rows*128 elements
+    # chunk for stable / multi-plane sorts: the unrolled network's compile
+    # time scales with substages x planes, so stable paths use a smaller
+    # chunk (more cross/finish stages, all of which share tiny kernels).
+    stable_chunk_rows: int = 256
     interpret: bool | None = None  # None → auto (interpret iff no TPU)
 
     @property
@@ -77,8 +81,9 @@ class SortConfig:
             raise ValueError("tile_rows must be >= 1")
         if self.strategy not in ("bitonic", "lax"):
             raise ValueError(f"unknown sort strategy {self.strategy!r}")
-        if self.chunk_rows < 8 or self.chunk_rows & (self.chunk_rows - 1):
-            raise ValueError("chunk_rows must be a power of two >= 8")
+        for cr in (self.chunk_rows, self.stable_chunk_rows):
+            if cr < 8 or cr & (cr - 1):
+                raise ValueError("chunk rows must be a power of two >= 8")
 
 
 @functools.cache

@@ -109,25 +109,23 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None):
     ys = [fwd(x) for x in planes]
     x0, y0 = planes[0], ys[0]
     if num_cmp == 1:
-        lo = [jnp.minimum(x0, y0)]
-        hi = [jnp.maximum(x0, y0)]
-        rest = planes[1:]
-        if rest:  # payload planes follow the key plane's comparison
-            y_lt = y0 < x0
-            lo += [jnp.where(y_lt, y, x) for x, y in zip(rest, ys[1:])]
-            hi += [jnp.where(y_lt, x, y) for x, y in zip(rest, ys[1:])]
+        y_lt_i = (y0 < x0).astype(jnp.int32)
     else:
         x1, y1 = planes[1], ys[1]
-        y_lt = (y0 < x0) | ((y0 == x0) & (y1 < x1))
-        lo = [jnp.where(y_lt, y, x) for x, y in zip(planes, ys)]
-        hi = [jnp.where(y_lt, x, y) for x, y in zip(planes, ys)]
+        y_lt_i = (y0 < x0).astype(jnp.int32) | (
+            (y0 == x0).astype(jnp.int32) & (y1 < x1).astype(jnp.int32)
+        )
 
-    up = up_i != 0
+    # At each pair leader: the low slot takes the rolled-in partner iff the
+    # comparison agrees with the direction; the high slot takes the other.
+    # chosen_low = y iff (y_lt == up); chosen_high = y iff (y_lt != up).
+    low_takes_y = (y_lt_i ^ (1 - up_i)) != 0
+    high_takes_y = (y_lt_i ^ up_i) != 0
     is_high = (flat & d) != 0
     out = []
-    for l, h in zip(lo, hi):
-        chosen_low = jnp.where(up, l, h)
-        chosen_high = jnp.where(up, h, l)
+    for x, y in zip(planes, ys):
+        chosen_low = jnp.where(low_takes_y, y, x)
+        chosen_high = jnp.where(high_takes_y, y, x)
         out.append(jnp.where(is_high, bwd(chosen_high), chosen_low))
     return out
 

@@ -45,7 +45,7 @@ def _compact_jit(mask, cols, cfg: SortConfig, n: int):
     ]
     outs = bitonic.sort_planes(
         [notmask, idx] + col_planes,
-        cfg.chunk_rows,
+        cfg.stable_chunk_rows,
         num_cmp=2,
         interpret=resolve_interpret(cfg),
     )

@@ -78,7 +78,7 @@ def _sort_stable_jit(keys, payload, cfg: SortConfig, n: int, with_payload):
         outs = [
             p.reshape(-1)
             for p in bitonic.sort_planes(
-                planes, cfg.chunk_rows, num_cmp=2,
+                planes, cfg.stable_chunk_rows, num_cmp=2,
                 interpret=resolve_interpret(cfg),
             )
         ]

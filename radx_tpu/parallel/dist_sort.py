@@ -60,7 +60,10 @@ def _local_sort_planes(planes, n, cfg, num_cmp):
         buf = jnp.full((total,), fill, jnp.int32).at[:n].set(p)
         padded.append(buf.reshape(total // LANES, LANES))
     outs = bitonic.sort_planes(
-        padded, cfg.chunk_rows, num_cmp, interpret=resolve_interpret(cfg)
+        padded,
+        cfg.chunk_rows if num_cmp == 1 else cfg.stable_chunk_rows,
+        num_cmp,
+        interpret=resolve_interpret(cfg),
     )
     return [o.reshape(-1)[:n] for o in outs]
 
