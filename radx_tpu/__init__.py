@@ -40,6 +40,13 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 from radx_tpu.config import SortConfig, DEFAULT  # noqa: F401,E402
-from radx_tpu.ops.sort import argsort, sort, sort_pairs  # noqa: F401,E402
+from radx_tpu.ops.sort import (  # noqa: F401,E402
+    argsort,
+    sort,
+    sort_any,
+    sort_pairs,
+    sort_pairs_any,
+    sort_u64,
+)
 
 __version__ = "0.1.0"

@@ -173,6 +173,43 @@ def _finish_kernel(num_cmp, log_c, kk_ref, *refs):
         o[0] = x
 
 
+def _cross_pair(lo, hi, up_i, num_cmp):
+    """Compare-exchange two chunk-resident block lists; returns (lo, hi)."""
+    if num_cmp == 1:
+        hi_lt = (hi[0] < lo[0]).astype(jnp.int32)
+    else:
+        eq = (hi[0] == lo[0]).astype(jnp.int32)
+        hi_lt = (hi[0] < lo[0]).astype(jnp.int32) | (
+            eq & (hi[1] < lo[1]).astype(jnp.int32)
+        )
+    swap = (hi_lt ^ (1 - up_i)) != 0
+    new_lo = [jnp.where(swap, b, a) for a, b in zip(lo, hi)]
+    new_hi = [jnp.where(swap, a, b) for a, b in zip(lo, hi)]
+    return new_lo, new_hi
+
+
+def _cross_stage2_kernel(num_cmp, up_ref, *refs):
+    """Two fused cross substages at consecutive chunk distances 2J and J.
+
+    Block view per plane: (1, 4, 1, c_rows, 128) — the 2-bit field indexes
+    chunks g with bits (j+1, j); exchange (b0,b2),(b1,b3) at distance 2J,
+    then (b0,b1),(b2,b3) at distance J.  One read+write of the array instead
+    of two.  Direction bit (the level bit kk) is the same for both.
+    """
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    a = pl.program_id(0)
+    up_i = up_ref[a]
+    b = [[r[0, i, 0] for r in in_refs] for i in range(4)]
+    b[0], b[2] = _cross_pair(b[0], b[2], up_i, num_cmp)
+    b[1], b[3] = _cross_pair(b[1], b[3], up_i, num_cmp)
+    b[0], b[1] = _cross_pair(b[0], b[1], up_i, num_cmp)
+    b[2], b[3] = _cross_pair(b[2], b[3], up_i, num_cmp)
+    for i in range(4):
+        for o, x in zip(out_refs, b[i]):
+            o[0, i, 0] = x
+
+
 def _cross_stage_kernel(num_cmp, up_ref, *refs):
     """Exchange chunk pairs at chunk distance J = 2^j_chunks.
 
@@ -262,42 +299,51 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
 
     finish = functools.partial(_finish_kernel, num_cmp, log_c)
     cross = functools.partial(_cross_stage_kernel, num_cmp)
+    cross2 = functools.partial(_cross_stage2_kernel, num_cmp)
+
+    def cross_call(kernel, width, j_low, up_bit):
+        """One cross-stage pallas_call; width = 2 (single) or 4 (fused)."""
+        J = 1 << j_low
+        A = n_chunks // (width * J)
+        up_tab = jnp.asarray(
+            1 - ((np.arange(A, dtype=np.int32) >> up_bit) & 1), jnp.int32
+        )
+        spec = pl.BlockSpec(
+            (1, width, 1, c_rows, LANES), lambda a, r, s: (a, 0, r, 0, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(A, J),
+            in_specs=[spec] * n_planes,
+            out_specs=[spec] * n_planes,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((A, width, J, c_rows, LANES), p.dtype)
+                for p in planes
+            ],
+            input_output_aliases=alias,
+            compiler_params=params,
+            interpret=interpret,
+        )(up_tab, *[p.reshape(A, width, J, c_rows, LANES) for p in planes])
+        return [o.reshape(rows, LANES) for o in out]
+
     for kk in range(log_c + 1, log_n + 1):
         kk_chunks = kk - log_c
-        for dj in range(kk - 1, log_c - 1, -1):
-            j_chunks = dj - log_c
-            J = 1 << j_chunks
-            A = n_chunks // (2 * J)
-            # 1 where pair-group a merges ascending (bit kk of flat index)
-            up_tab = jnp.asarray(
-                1
-                - (
-                    (np.arange(A, dtype=np.int32) >> (kk_chunks - j_chunks - 1))
-                    & 1
-                ),
-                jnp.int32,
-            )
-            spec = pl.BlockSpec(
-                (1, 2, 1, c_rows, LANES), lambda a, r, s: (a, 0, r, 0, 0)
-            )
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(A, J),
-                in_specs=[spec] * n_planes,
-                out_specs=[spec] * n_planes,
-            )
-            out = pl.pallas_call(
-                cross,
-                grid_spec=grid_spec,
-                out_shape=[
-                    jax.ShapeDtypeStruct((A, 2, J, c_rows, LANES), p.dtype)
-                    for p in planes
-                ],
-                input_output_aliases=alias,
-                compiler_params=params,
-                interpret=interpret,
-            )(up_tab, *[p.reshape(A, 2, J, c_rows, LANES) for p in planes])
-            planes = [o.reshape(rows, LANES) for o in out]
+        djs = list(range(kk - 1, log_c - 1, -1))  # consecutive, descending
+        i = 0
+        while i < len(djs):
+            if i + 1 < len(djs):
+                # fuse distances djs[i] = djs[i+1]+1 into one 4-block pass
+                j0 = djs[i + 1] - log_c
+                planes = cross_call(cross2, 4, j0, kk_chunks - j0 - 2)
+                i += 2
+            else:
+                j_chunks = djs[i] - log_c
+                planes = cross_call(cross, 2, j_chunks, kk_chunks - j_chunks - 1)
+                i += 1
         planes = chunked_call(finish, jnp.full((1,), kk, jnp.int32))
 
     return planes

@@ -27,16 +27,19 @@ def _pad_total(n: int) -> int:
 def _compact_jit(mask, cols, cfg: SortConfig, n: int):
     total = _pad_total(n)
 
-    def plane(x, fill):
-        return (
-            jnp.full((total,), fill, jnp.int32)
-            .at[:n]
-            .set(x.astype(jnp.int32))
-            .reshape(total // LANES, LANES)
-        )
-
-    notmask = plane(1 - mask.astype(jnp.int32), 2)  # padding sorts last
-    idx = plane(jax.lax.iota(jnp.int32, n), 0)
+    # Composite sort key (one plane instead of notmask+index planes, and the
+    # keys are unique so num_cmp=1 suffices — halves memory and compare
+    # cost, which matters at the 1B-row BASELINE config):
+    #   bit 30 = "dropped", bits 0..29 = original index → kept rows first,
+    #   each side in original order; padding gets bit 31 region (sorts last).
+    notmask = 1 - mask.astype(jnp.int32)
+    composite = (notmask << 30) | jax.lax.iota(jnp.int32, n)
+    key_plane = (
+        jnp.full((total,), jnp.int32(0x7FFFFFFF))
+        .at[:n]
+        .set(composite)
+        .reshape(total // LANES, LANES)
+    )
     col_planes = [
         jax.lax.bitcast_convert_type(
             jnp.zeros((total,), c.dtype).at[:n].set(c), jnp.int32
@@ -44,13 +47,13 @@ def _compact_jit(mask, cols, cfg: SortConfig, n: int):
         for c in cols
     ]
     outs = bitonic.sort_planes(
-        [notmask, idx] + col_planes,
+        [key_plane] + col_planes,
         cfg.stable_chunk_rows,
-        num_cmp=2,
+        num_cmp=1,
         interpret=resolve_interpret(cfg),
     )
     count = jnp.sum(mask.astype(jnp.int32))
-    compacted = [o.reshape(-1)[:n] for o in outs[2:]]
+    compacted = [o.reshape(-1)[:n] for o in outs[1:]]
     return compacted, count
 
 
@@ -71,6 +74,8 @@ def filter_columns(mask, cols, cfg: SortConfig | None = None):
             raise TypeError("columns must be 32-bit dtypes")
     if n == 0:
         return cols, jnp.int32(0)
+    if n >= 1 << 30:
+        raise ValueError("filter supports up to 2^30-1 rows per call")
     compacted, count = _compact_jit(mask, cols, cfg, n)
     return [
         jax.lax.bitcast_convert_type(o, c.dtype)

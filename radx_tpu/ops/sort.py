@@ -118,6 +118,99 @@ def argsort(keys, cfg: SortConfig | None = None):
     return _sort_stable_jit(keys, None, cfg, n, False)[1]
 
 
+def _encode_keys(keys):
+    """Order-preserving uint32 encoding for supported key dtypes.
+
+    uint32: identity; int32: flip sign bit; float32: sign-magnitude to
+    lexicographic (non-negative -> set sign bit, negative -> complement) —
+    total order with -inf < ... < -0.0 < +0.0 < ... < +inf < nan.
+    """
+    keys = jnp.asarray(keys)
+    if keys.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    if keys.dtype == jnp.uint32:
+        return keys
+    if keys.dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(keys, jnp.uint32) ^ _SIGN
+    if keys.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+        return jnp.where(
+            (bits & _SIGN) != 0, ~bits, bits | _SIGN
+        )
+    raise TypeError(f"unsupported key dtype {keys.dtype}")
+
+
+def _decode_keys(enc, dtype):
+    if dtype == jnp.uint32:
+        return enc
+    if dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(enc ^ _SIGN, jnp.int32)
+    bits = jnp.where((enc & _SIGN) != 0, enc ^ _SIGN, ~enc)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def sort_any(keys, descending: bool = False, cfg: SortConfig | None = None):
+    """Sort uint32 / int32 / float32 keys (ascending or descending).
+
+    Implemented by order-preserving bit encodings over the uint32 engine —
+    the reference supports uint32 only (SURVEY §2); wider dtype coverage is
+    part of the query-executor surface.
+    """
+    cfg = cfg or SortConfig()
+    keys = jnp.asarray(keys)
+    enc = _encode_keys(keys)
+    if descending:
+        enc = ~enc
+    out = sort(enc, cfg)
+    if descending:
+        out = ~out
+    return _decode_keys(out, keys.dtype)
+
+
+def sort_pairs_any(keys, payload, descending=False, cfg=None):
+    """Stable key+payload sort for uint32 / int32 / float32 keys."""
+    cfg = cfg or SortConfig()
+    keys = jnp.asarray(keys)
+    enc = _encode_keys(keys)
+    if descending:
+        enc = ~enc
+    k, p = sort_pairs(enc, payload, cfg)
+    if descending:
+        k = ~k
+    return _decode_keys(k, keys.dtype), p
+
+
+def sort_u64(hi, lo, cfg: SortConfig | None = None):
+    """Sort 64-bit keys given as (hi, lo) uint32 halves — lexicographic
+    two-plane compare (num_cmp=2), a capability with no reference analogue.
+    Returns sorted (hi, lo)."""
+    cfg = cfg or SortConfig()
+    hi = _as_u32(jnp.asarray(hi))
+    lo = _as_u32(jnp.asarray(lo))
+    if hi.shape != lo.shape:
+        raise ValueError("hi/lo must match")
+    n = hi.shape[0]
+    if n <= 1:
+        return hi, lo
+    return _sort_u64_jit(hi, lo, cfg, n)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _sort_u64_jit(hi, lo, cfg: SortConfig, n: int):
+    total = _pad_len(n)
+    hp = _key_plane(hi, total)
+    lp = _key_plane(lo, total)
+    outs = bitonic.sort_planes(
+        [hp, lp],
+        cfg.stable_chunk_rows,
+        num_cmp=2,
+        interpret=resolve_interpret(cfg),
+    )
+    h = (outs[0].reshape(-1)[:n].astype(jnp.uint32)) ^ _SIGN
+    l = (outs[1].reshape(-1)[:n].astype(jnp.uint32)) ^ _SIGN
+    return h, l
+
+
 def sort_pairs(keys, payload, cfg: SortConfig | None = None):
     """Stable key+payload sort — the capability RadX stubs but never ships
     (indiction/permutation dispatches absent from Radix::command,
