@@ -1,0 +1,65 @@
+"""End-to-end query pipeline on the columnar Table API.
+
+Sales-style demo: filter rows, aggregate per group, join against a
+dimension table, and sort the result — every reordering running through the
+Pallas bitonic pipeline.
+
+Run (CPU, interpreter-mode kernels):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/query_pipeline.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from radx_tpu.config import SortConfig
+from radx_tpu.ops.table import Table
+
+CFG = SortConfig(chunk_rows=64, stable_chunk_rows=64)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    n = 100_000
+
+    sales = Table.from_arrays(
+        store=rng.integers(0, 50, n).astype(np.uint32),
+        amount=rng.integers(1, 500, n).astype(np.uint32),
+        returned=(rng.random(n) < 0.05).astype(np.uint32),
+    )
+    stores = Table.from_arrays(
+        store=np.arange(50, dtype=np.uint32),
+        region=(np.arange(50, dtype=np.uint32) % 7),
+    )
+
+    kept = sales.filter(1 - np.asarray(sales.column("returned")), cfg=CFG)
+    per_store = kept.groupby("store", "amount", "sum", cfg=CFG)
+    with_region = per_store.join(
+        stores, on="store", value="sum", other_value="region", cfg=CFG
+    )
+    top = with_region.sort_by("sum", descending=True, cfg=CFG)
+
+    out = top.to_numpy()
+    print("top 5 stores by non-returned sales:")
+    for i in range(5):
+        print(
+            f"  store {out['store'][i]:3d}  region {out['region'][i]}  "
+            f"total {out['sum'][i]}"
+        )
+
+    # cross-check against NumPy
+    st = np.asarray(sales.column("store"))
+    am = np.asarray(sales.column("amount"))
+    rt = np.asarray(sales.column("returned"))
+    want = {
+        s: am[(st == s) & (rt == 0)].sum() for s in np.unique(st)
+    }
+    assert all(want[s] == t for s, t in zip(out["store"], out["sum"]))
+    print("verified against NumPy.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Columnar Table: the query-executor surface over the sort/filter/groupby/
+join primitives (the reference is a bare sort library; BASELINE.json frames
+this engine as a vectorized query executor, so the operator graph gets a
+first-class batch-columnar API).
+
+A Table is an immutable set of named, equal-length 32-bit columns.  All
+operators return new Tables; padding/validity is handled internally so the
+user-facing rows are always exactly the valid ones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radx_tpu.config import SortConfig
+from radx_tpu.ops import filter as filter_ops
+from radx_tpu.ops import groupby as groupby_ops
+from radx_tpu.ops import join as join_ops
+from radx_tpu.ops import sort as sort_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class Table:
+    columns: Mapping[str, jax.Array]
+
+    def __post_init__(self):
+        if not self.columns:
+            raise ValueError("table needs at least one column")
+        lens = {c.shape[0] for c in self.columns.values()}
+        if len(lens) != 1:
+            raise ValueError("all columns must have equal length")
+        for name, c in self.columns.items():
+            if c.ndim != 1 or c.dtype.itemsize != 4:
+                raise TypeError(f"column {name!r} must be 1-D 32-bit")
+
+    @classmethod
+    def from_arrays(cls, **cols) -> "Table":
+        return cls({k: jnp.asarray(v) for k, v in cols.items()})
+
+    @property
+    def num_rows(self) -> int:
+        return next(iter(self.columns.values())).shape[0]
+
+    def column(self, name: str):
+        return self.columns[name]
+
+    def to_numpy(self) -> dict[str, np.ndarray]:
+        return {k: np.asarray(jax.device_get(v)) for k, v in self.columns.items()}
+
+    # -- operators ---------------------------------------------------------
+
+    def sort_by(self, key: str, descending: bool = False,
+                cfg: SortConfig | None = None) -> "Table":
+        """Stable sort of all columns by one uint32/int32/float32 column."""
+        cfg = cfg or SortConfig()
+        keys = self.columns[key]
+        enc = sort_ops._encode_keys(keys)
+        if descending:
+            enc = ~enc
+        perm = sort_ops.argsort(enc, cfg)
+        # apply the permutation to every column via gather (XLA); the sort
+        # itself ran in the Pallas pipeline
+        return Table({k: v[perm] for k, v in self.columns.items()})
+
+    def filter(self, mask, cfg: SortConfig | None = None) -> "Table":
+        """Keep rows where mask != 0 (stable)."""
+        cfg = cfg or SortConfig()
+        names = list(self.columns)
+        cols, count = filter_ops.filter_columns(
+            mask, [self.columns[n] for n in names], cfg
+        )
+        count = int(count)
+        return Table({n: c[:count] for n, c in zip(names, cols)})
+
+    def groupby(self, key: str, value: str, agg: str = "sum",
+                cfg: SortConfig | None = None) -> "Table":
+        """GROUP BY key aggregating value; returns Table(key, agg)."""
+        cfg = cfg or SortConfig()
+        uk, out, ng = groupby_ops.groupby(
+            self.columns[key], self.columns[value], agg, cfg
+        )
+        ng = int(ng)
+        return Table({key: uk[:ng], agg: out[:ng]})
+
+    def join(self, other: "Table", on: str, value: str, other_value: str,
+             max_matches: int = 4, cfg: SortConfig | None = None) -> "Table":
+        """Inner join with `other` on column `on` (other = build side)."""
+        cfg = cfg or SortConfig()
+        k, bv, pv, valid, truncated = join_ops.join_inner(
+            other.columns[on], other.columns[other_value],
+            self.columns[on], self.columns[value],
+            max_matches=max_matches, cfg=cfg,
+        )
+        if bool(truncated):
+            raise ValueError(
+                "join truncated: a probe key exceeded max_matches; re-run "
+                f"with max_matches > {max_matches}"
+            )
+        flat_valid = valid.reshape(-1)
+        names = [on, value, other_value]
+        cols, count = filter_ops.filter_columns(
+            flat_valid.astype(jnp.int32),
+            [k.reshape(-1), pv.reshape(-1), bv.reshape(-1)],
+            cfg,
+        )
+        count = int(count)
+        return Table({n: c[:count] for n, c in zip(names, cols)})

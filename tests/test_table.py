@@ -1,0 +1,68 @@
+"""Columnar Table API: end-to-end query pipelines vs NumPy semantics."""
+
+import numpy as np
+import pytest
+
+from radx_tpu.config import SortConfig
+from radx_tpu.ops.table import Table
+
+CFG = SortConfig(chunk_rows=8, stable_chunk_rows=8)
+
+
+def _table(rng, n=5000):
+    return Table.from_arrays(
+        id=rng.permutation(n).astype(np.uint32),
+        group=rng.integers(0, 20, n).astype(np.uint32),
+        value=rng.integers(0, 1000, n).astype(np.uint32),
+        score=rng.normal(size=n).astype(np.float32),
+    ), n
+
+
+def test_sort_by(rng):
+    t, n = _table(rng)
+    out = t.sort_by("id", cfg=CFG).to_numpy()
+    order = np.argsort(np.asarray(t.column("id")), kind="stable")
+    for name in ("id", "group", "value", "score"):
+        np.testing.assert_array_equal(out[name], np.asarray(t.column(name))[order])
+
+
+def test_sort_by_float_descending(rng):
+    t, n = _table(rng)
+    out = t.sort_by("score", descending=True, cfg=CFG).to_numpy()
+    want = np.sort(np.asarray(t.column("score")))[::-1]
+    np.testing.assert_array_equal(out["score"], want)
+
+
+def test_filter_then_groupby(rng):
+    t, n = _table(rng)
+    g = np.asarray(t.column("group"))
+    v = np.asarray(t.column("value"))
+    mask = (v % 2 == 0).astype(np.int32)
+    got = t.filter(mask, cfg=CFG).groupby("group", "value", "sum", cfg=CFG).to_numpy()
+    keep = mask != 0
+    uniq = np.unique(g[keep])
+    np.testing.assert_array_equal(got["group"], uniq)
+    want = np.array([v[keep & (g == u)].sum() for u in uniq], dtype=np.uint32)
+    np.testing.assert_array_equal(got["sum"], want)
+
+
+def test_join(rng):
+    dims = Table.from_arrays(
+        key=np.array([1, 2, 3, 5], np.uint32),
+        weight=np.array([10, 20, 30, 50], np.uint32),
+    )
+    facts = Table.from_arrays(
+        key=np.array([2, 5, 5, 7, 1], np.uint32),
+        amount=np.array([200, 500, 501, 700, 100], np.uint32),
+    )
+    out = facts.join(dims, on="key", value="amount", other_value="weight", cfg=CFG)
+    got = out.to_numpy()
+    rows = sorted(zip(got["key"], got["amount"], got["weight"]))
+    assert rows == [(1, 100, 10), (2, 200, 20), (5, 500, 50), (5, 501, 50)]
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        Table.from_arrays(a=np.zeros(3, np.uint32), b=np.zeros(4, np.uint32))
+    with pytest.raises(TypeError):
+        Table.from_arrays(a=np.zeros((2, 2), np.uint32))  # not 1-D
