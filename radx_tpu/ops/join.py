@@ -23,6 +23,118 @@ from radx_tpu.config import SortConfig
 from radx_tpu.ops import sort as sort_ops
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _join_merge_jit(build_keys, build_vals, probe_keys, probe_vals, cfg):
+    """Gather-free single-match join core: tagged union sort + segmented
+    forward-fill.  Returns full tagged-sorted arrays (see join_merge)."""
+    nb, np_ = build_keys.shape[0], probe_vals.shape[0]
+    n = nb + np_
+    keys = jnp.concatenate([build_keys, probe_keys])
+    # tiebreak: build rows (0..nb-1) sort before probe rows (2^30 + i)
+    tie = jnp.concatenate(
+        [
+            jax.lax.iota(jnp.int32, nb),
+            jax.lax.iota(jnp.int32, np_) + jnp.int32(1 << 30),
+        ]
+    )
+    bvals = jnp.concatenate(
+        [build_vals, jnp.zeros((np_,), build_vals.dtype)]
+    )
+    pvals = jnp.concatenate(
+        [jnp.zeros((nb,), probe_vals.dtype), probe_vals]
+    )
+
+    from radx_tpu.config import LANES, resolve_interpret
+    from radx_tpu.kernels import bitonic
+
+    total = 1 << (max(n, 1024) - 1).bit_length()
+
+    def plane(x, fill):
+        return (
+            jnp.full((total,), fill, jnp.int32)
+            .at[:n]
+            .set(x)
+            .reshape(total // LANES, LANES)
+        )
+
+    planes = [
+        plane((keys ^ jnp.uint32(0x80000000)).astype(jnp.int32), 0x7FFFFFFF),
+        plane(tie, 0x7FFFFFFF),
+        plane(jax.lax.bitcast_convert_type(bvals, jnp.int32), 0),
+        plane(jax.lax.bitcast_convert_type(pvals, jnp.int32), 0),
+    ]
+    outs = bitonic.sort_planes(
+        planes, cfg.stable_chunk_rows, num_cmp=2,
+        interpret=resolve_interpret(cfg),
+    )
+    skey = outs[0].reshape(-1)[:n]
+    stie = outs[1].reshape(-1)[:n]
+    sbval = outs[2].reshape(-1)[:n]
+    spval = outs[3].reshape(-1)[:n]
+    is_build = stie < (1 << 30)
+
+    # Segmented forward-fill: carry the last build value through each
+    # equal-key run (runs are contiguous after the sort).  Hillis-Steele
+    # doubling instead of lax.associative_scan — the scan's recursive
+    # lowering OOMs the Mosaic/XLA compiler at 2^27 operands.  Because keys
+    # are sorted, key[i] == key[i-s] implies everything in between is the
+    # same run, so a plain shifted compare is segment-safe.
+    filled, has = sbval, is_build
+    s = 1
+    while s < n:
+        pk_ = jnp.concatenate([jnp.full((s,), -1, skey.dtype), skey[:-s]])
+        pv_ = jnp.concatenate([jnp.zeros((s,), filled.dtype), filled[:-s]])
+        ph_ = jnp.concatenate([jnp.zeros((s,), jnp.bool_), has[:-s]])
+        take = (~has) & ph_ & (skey == pk_)
+        filled = jnp.where(take, pv_, filled)
+        has = has | take
+        s *= 2
+    keep = (has & ~is_build).astype(jnp.int32)
+    skey_u32 = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ jnp.uint32(
+        0x80000000
+    )
+    return skey_u32, filled, spval, keep
+
+
+def join_merge(build_keys, build_vals, probe_keys, probe_vals,
+               cfg: SortConfig | None = None):
+    """Scalable inner join (single match per probe row).
+
+    Tagged union sort (Pallas pipeline) + one associative forward-fill scan
+    + pipeline compaction — no searchsorted, no gather, no scatter, so it
+    scales to the BASELINE 100M x 100M config where the XLA searchsorted
+    lowering falls over (observed TPU worker crash at 2^26).  Duplicate
+    build keys resolve to the *last* build row.
+
+    Returns (keys, build_vals, probe_vals, count): compacted matched rows
+    (first `count` entries; order is key-sorted, not probe order).
+    """
+    cfg = cfg or SortConfig()
+    build_keys = jnp.asarray(build_keys)
+    probe_keys = jnp.asarray(probe_keys)
+    build_vals = jnp.asarray(build_vals)
+    probe_vals = jnp.asarray(probe_vals)
+    for k in (build_keys, probe_keys):
+        if k.dtype != jnp.uint32:
+            raise TypeError("join keys must be uint32")
+    if build_keys.shape[0] >= 1 << 30 or probe_keys.shape[0] >= 1 << 30:
+        raise ValueError("join_merge supports up to 2^30-1 rows per side")
+    skey, bval, pval, keep = _join_merge_jit(
+        build_keys, build_vals, probe_keys, probe_vals, cfg
+    )
+    from radx_tpu.ops.filter import filter_columns
+
+    (k_out, b_out, p_out), count = filter_columns(
+        keep, [skey, bval, pval], cfg
+    )
+    return (
+        k_out,
+        jax.lax.bitcast_convert_type(b_out, build_vals.dtype),
+        jax.lax.bitcast_convert_type(p_out, probe_vals.dtype),
+        count,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_matches"))
 def _join_jit(build_keys, build_vals, probe_keys, probe_vals, cfg, max_matches):
     nb = build_keys.shape[0]

@@ -88,9 +88,24 @@ class Table:
         return Table({key: uk[:ng], agg: out[:ng]})
 
     def join(self, other: "Table", on: str, value: str, other_value: str,
-             max_matches: int = 4, cfg: SortConfig | None = None) -> "Table":
-        """Inner join with `other` on column `on` (other = build side)."""
+             max_matches: int = 1, cfg: SortConfig | None = None) -> "Table":
+        """Inner join with `other` on column `on` (other = build side).
+
+        max_matches == 1 (default) uses the scalable gather-free tagged
+        merge join (duplicate build keys resolve to the last build row);
+        larger values use the searchsorted expansion path.
+        """
         cfg = cfg or SortConfig()
+        names = [on, value, other_value]
+        if max_matches == 1:
+            k, bv, pv, count = join_ops.join_merge(
+                other.columns[on], other.columns[other_value],
+                self.columns[on], self.columns[value], cfg=cfg,
+            )
+            count = int(count)
+            return Table(
+                {on: k[:count], value: pv[:count], other_value: bv[:count]}
+            )
         k, bv, pv, valid, truncated = join_ops.join_inner(
             other.columns[on], other.columns[other_value],
             self.columns[on], self.columns[value],
@@ -102,7 +117,6 @@ class Table:
                 f"with max_matches > {max_matches}"
             )
         flat_valid = valid.reshape(-1)
-        names = [on, value, other_value]
         cols, count = filter_ops.filter_columns(
             flat_valid.astype(jnp.int32),
             [k.reshape(-1), pv.reshape(-1), bv.reshape(-1)],

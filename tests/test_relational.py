@@ -72,6 +72,48 @@ def test_join_unique_keys(rng):
             assert np.asarray(pvo)[i, 0] == pv[i]
 
 
+def test_join_merge_matches_numpy(rng):
+    from radx_tpu.ops.join import join_merge
+
+    nb, npr = 4000, 6000
+    bk = rng.permutation(20_000)[:nb].astype(np.uint32)
+    bv = rng.integers(0, 2**32, nb, dtype=np.uint32)
+    pk = rng.integers(0, 20_000, npr).astype(np.uint32)
+    pv = np.arange(npr, dtype=np.uint32)
+    k, b, p, count = join_merge(bk, bv, pk, pv, cfg=CFG)
+    count = int(count)
+    bmap = dict(zip(bk.tolist(), bv.tolist()))
+    expect = sorted(
+        (int(pk[i]), int(pv[i]), bmap[int(pk[i])])
+        for i in range(npr)
+        if int(pk[i]) in bmap
+    )
+    got = sorted(
+        zip(
+            np.asarray(k)[:count].tolist(),
+            np.asarray(p)[:count].tolist(),
+            np.asarray(b)[:count].tolist(),
+        )
+    )
+    assert got == expect
+
+
+def test_join_merge_duplicate_build_keys_last_wins(rng):
+    from radx_tpu.ops.join import join_merge
+
+    bk = np.array([7, 7, 9], np.uint32)
+    bv = np.array([70, 71, 90], np.uint32)
+    pk = np.array([7, 9, 8], np.uint32)
+    pv = np.array([1, 2, 3], np.uint32)
+    k, b, p, count = join_merge(bk, bv, pk, pv, cfg=CFG)
+    count = int(count)
+    rows = sorted(
+        zip(np.asarray(k)[:count].tolist(), np.asarray(p)[:count].tolist(),
+            np.asarray(b)[:count].tolist())
+    )
+    assert rows == [(7, 1, 71), (9, 2, 90)]
+
+
 def test_join_duplicates(rng):
     bk = np.array([5, 5, 5, 9, 9, 1], dtype=np.uint32)
     bv = np.arange(6, dtype=np.uint32)
