@@ -74,8 +74,8 @@ def filter_columns(mask, cols, cfg: SortConfig | None = None):
             raise TypeError("columns must be 32-bit dtypes")
     if n == 0:
         return cols, jnp.int32(0)
-    if n >= 1 << 30:
-        raise ValueError("filter supports up to 2^30-1 rows per call")
+    if n > 1 << 30:
+        raise ValueError("filter supports up to 2^30 rows per call")
     compacted, count = _compact_jit(mask, cols, cfg, n)
     return [
         jax.lax.bitcast_convert_type(o, c.dtype)

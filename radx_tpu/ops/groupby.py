@@ -27,59 +27,76 @@ _U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 @functools.partial(jax.jit, static_argnames=("cfg", "agg"))
 def _groupby_jit(keys, values, cfg: SortConfig, agg: str):
+    """Sort-based aggregation with a doubling segmented scan.
+
+    No scatter-adds: jax.ops.segment_* lower to XLA scatter, which is
+    pathologically slow on TPU at 10^8+ rows (same class as the
+    searchsorted issue documented in ops/join.py).  Because the pairs are
+    sorted, key[i] == key[i-s] implies the whole gap is one run, so a
+    shifted-compare Hillis-Steele scan aggregates each run in log2(n)
+    vector passes; the run's last element then holds the full aggregate.
+    """
     n = keys.shape[0]
     skeys, svals = sort_ops._sort_stable_jit(keys, values, cfg, n, True)
     svals = jax.lax.bitcast_convert_type(svals, values.dtype)
 
-    prev = jnp.concatenate([skeys[:1] ^ jnp.uint32(1), skeys[:-1]])
-    boundary = (skeys != prev).astype(jnp.int32)
-    boundary = boundary.at[0].set(1)
-    seg = jnp.cumsum(boundary) - 1  # 0-based group id, ascending
-    num_groups = seg[-1] + 1
-
     if agg == "count":
-        data = jnp.ones((n,), jnp.int32)
-        out = jax.ops.segment_sum(data, seg, num_segments=n)
+        acc = jnp.ones((n,), jnp.int32)
+        combine = lambda a, b: a + b
+        fill = jnp.int32(0)
     elif agg == "sum":
-        out = jax.ops.segment_sum(
-            values_sorted_for(svals), seg, num_segments=n
-        )
+        acc = svals
+        combine = lambda a, b: a + b
+        fill = jnp.zeros((), svals.dtype)
     elif agg == "min":
-        out = jax.ops.segment_min(svals, seg, num_segments=n)
+        acc = svals
+        combine = jnp.minimum
+        fill = jnp.full((), _U32_MAX, svals.dtype)
     elif agg == "max":
-        out = jax.ops.segment_max(svals, seg, num_segments=n)
+        acc = svals
+        combine = jnp.maximum
+        fill = jnp.zeros((), svals.dtype)
     else:  # pragma: no cover
         raise ValueError(agg)
 
-    # unique keys: first element of each run, compacted by segment id
-    ukeys = jnp.full((n,), _U32_MAX).at[seg].set(skeys)
-    return ukeys, out, num_groups
+    s = 1
+    while s < n:
+        pk = jnp.concatenate([jnp.full((s,), _U32_MAX), skeys[:-s]])
+        pa = jnp.concatenate([jnp.full((s,), fill), acc[:-s]])
+        acc = jnp.where(skeys == pk, combine(acc, pa), acc)
+        s *= 2
 
-
-def values_sorted_for(svals):
-    # uint32 sums can overflow 32 bits; accumulate in int64 when enabled,
-    # else in the input dtype (documented wraparound, like C).
-    if svals.dtype == jnp.uint32 and jax.config.jax_enable_x64:
-        return svals.astype(jnp.uint64)
-    return svals
+    nxt = jnp.concatenate([skeys[1:], skeys[:1] ^ jnp.uint32(1)])
+    is_last = skeys != nxt
+    is_last = is_last.at[-1].set(True)
+    num_groups = jnp.sum(is_last.astype(jnp.int32))
+    return skeys, acc, is_last, num_groups
 
 
 def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):
     """Aggregate `values` per unique uint32 key.
 
     Returns (unique_keys, aggregates, num_groups): arrays padded to len(keys)
-    — rows beyond num_groups are padding (unique_keys there = 0xFFFFFFFF).
-    Unique keys are ascending.
+    — rows beyond num_groups are garbage.  Unique keys are ascending.
+    uint32 sums wrap at 2^32 (like C unsigned arithmetic).
     """
     cfg = cfg or SortConfig()
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
     if keys.dtype != jnp.uint32:
         raise TypeError("keys must be uint32")
+    if values.dtype not in (jnp.uint32, jnp.int32):
+        raise TypeError("values must be uint32/int32")
     if values.shape != keys.shape:
         raise ValueError("values must match keys shape")
     if agg not in ("sum", "count", "min", "max"):
         raise ValueError(f"unknown agg {agg!r}")
     if keys.shape[0] == 0:
         return keys, values, jnp.int32(0)
-    return _groupby_jit(keys, values, cfg, agg)
+    skeys, acc, is_last, num_groups = _groupby_jit(keys, values, cfg, agg)
+    from radx_tpu.ops.filter import filter_columns
+
+    (uk, out), _ = filter_columns(
+        is_last.astype(jnp.int32), [skeys, acc], cfg
+    )
+    return uk, out, num_groups
