@@ -33,3 +33,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5ADF00D)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Interpret-mode executables are large; without this the full suite
+    exhausts host memory (observed Fatal Python abort ~70% through)."""
+    yield
+    jax.clear_caches()
