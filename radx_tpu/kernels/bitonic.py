@@ -16,12 +16,13 @@ Structure (network over flat element index, length padded to a power of two):
      parity, so chunks emerge sorted in alternating directions — exactly
      what the cross-chunk merge expects.
   2. per merge level kk (span 2^kk > C):
-     a. `_cross_stage_kernel` for distances d = 2^(kk-1) .. C — the partner
-        lives in a different chunk.  The array is viewed as
-        (A, 2, J, c_rows, 128) with J = d/C so the low/high chunks of every
-        pair form one rectangular block; grid over (A, J); no rolls at all.
-     b. `_finish_kernel` — one call running all remaining distances
-        C/2 .. 1 of this level inside VMEM.
+     a. `_cross_stage_kernel` / `_cross_stage2_kernel` for distances
+        d = 2^(kk-1) .. 2C — the partner lives in a different chunk.  The
+        array is viewed as (A, {2,4}, J, c_rows, 128) so the chunks of every
+        pair (or fused pair-of-pairs at consecutive distances) form one
+        rectangular block; grid over (A, J); no rolls at all.
+     b. `_finish2_kernel` — one call fusing the final distance-C exchange
+        with all remaining distances C/2 .. 1 of this level inside VMEM.
 
 Direction rule (standard bitonic): element e ascends at level kk iff bit kk
 of its global flat index is 0.  Inside kernels the global index is
@@ -151,28 +152,6 @@ def _chunk_sort_kernel(num_cmp, log_c, _scalar_ref, *refs):
         o[0] = x
 
 
-def _finish_kernel(num_cmp, log_c, kk_ref, *refs):
-    """All substages of one level with distance < C, fully inside VMEM.
-
-    kk_ref is a scalar-prefetch (1,) i32 holding the level number, so one
-    compiled kernel serves every merge level (remote Mosaic compiles cost
-    tens of seconds; the level only affects the direction mask).
-    """
-    n = len(refs) // 2
-    in_refs, out_refs = refs[:n], refs[n:]
-    rows = in_refs[0].shape[1]
-    flat = _flat_iota(rows)
-    gflat = flat + pl.program_id(0) * (rows * LANES)
-    up_i = 1 - ((gflat >> kk_ref[0]) & 1)
-    planes = list(r[0] for r in in_refs)
-    for dj in range(log_c - 1, -1, -1):
-        planes = _substage(
-            planes, dj, up_i, flat, num_cmp, axis=0 if dj >= 7 else 1
-        )
-    for o, x in zip(out_refs, planes):
-        o[0] = x
-
-
 def _cross_pair(lo, hi, up_i, num_cmp):
     """Compare-exchange two chunk-resident block lists; returns (lo, hi)."""
     if num_cmp == 1:
@@ -208,6 +187,38 @@ def _cross_stage2_kernel(num_cmp, up_ref, *refs):
     for i in range(4):
         for o, x in zip(out_refs, b[i]):
             o[0, i, 0] = x
+
+
+def _finish2_kernel(num_cmp, log_c, kk_ref, *refs):
+    """Fused tail of a merge level: the last cross exchange (chunk distance
+    1) plus all intra-chunk substages for BOTH chunks, one read+write.
+
+    Block view per plane: (1, 2, 1, c_rows, 128) — chunk pair (2a, 2a+1).
+    kk_ref[0] holds the level; direction bits are computed per half from
+    its own chunk id.
+    """
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    rows = in_refs[0].shape[3]
+    flat = _flat_iota(rows)
+    a = pl.program_id(0)
+    kk = kk_ref[0]
+
+    lo = [r[0, 0, 0] for r in in_refs]
+    hi = [r[0, 1, 0] for r in in_refs]
+    up_cross = 1 - ((a >> (kk - log_c - 1)) & 1)
+    lo, hi = _cross_pair(lo, hi, up_cross, num_cmp)
+
+    c = rows * LANES
+    for h, planes in ((0, lo), (1, hi)):
+        gflat = flat + (2 * a + h) * c
+        up_i = 1 - ((gflat >> kk) & 1)
+        for dj in range(log_c - 1, -1, -1):
+            planes = _substage(
+                planes, dj, up_i, flat, num_cmp, axis=0 if dj >= 7 else 1
+            )
+        for o, x in zip(out_refs, planes):
+            o[0, h, 0] = x
 
 
 def _cross_stage_kernel(num_cmp, up_ref, *refs):
@@ -297,7 +308,6 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
         functools.partial(_chunk_sort_kernel, num_cmp, log_c), zero
     )
 
-    finish = functools.partial(_finish_kernel, num_cmp, log_c)
     cross = functools.partial(_cross_stage_kernel, num_cmp)
     cross2 = functools.partial(_cross_stage2_kernel, num_cmp)
 
@@ -330,9 +340,22 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
         )(up_tab, *[p.reshape(A, width, J, c_rows, LANES) for p in planes])
         return [o.reshape(rows, LANES) for o in out]
 
+    finish2 = functools.partial(_finish2_kernel, num_cmp, log_c)
+    f2_spec = pl.BlockSpec(
+        (1, 2, 1, c_rows, LANES), lambda a, s: (a, 0, 0, 0, 0)
+    )
+    f2_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks // 2,),
+        in_specs=[f2_spec] * n_planes,
+        out_specs=[f2_spec] * n_planes,
+    )
+
     for kk in range(log_c + 1, log_n + 1):
         kk_chunks = kk - log_c
-        djs = list(range(kk - 1, log_c - 1, -1))  # consecutive, descending
+        # cross distances down to chunk-distance 2; the final distance-1
+        # exchange is fused into the finish pass (_finish2_kernel)
+        djs = list(range(kk - 1, log_c, -1))  # consecutive, descending
         i = 0
         while i < len(djs):
             if i + 1 < len(djs):
@@ -344,6 +367,22 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
                 j_chunks = djs[i] - log_c
                 planes = cross_call(cross, 2, j_chunks, kk_chunks - j_chunks - 1)
                 i += 1
-        planes = chunked_call(finish, jnp.full((1,), kk, jnp.int32))
+        out = pl.pallas_call(
+            finish2,
+            grid_spec=f2_grid,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (n_chunks // 2, 2, 1, c_rows, LANES), p.dtype
+                )
+                for p in planes
+            ],
+            input_output_aliases=alias,
+            compiler_params=params,
+            interpret=interpret,
+        )(
+            jnp.full((1,), kk, jnp.int32),
+            *[p.reshape(n_chunks // 2, 2, 1, c_rows, LANES) for p in planes],
+        )
+        planes = [o.reshape(rows, LANES) for o in out]
 
     return planes
