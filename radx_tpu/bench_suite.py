@@ -74,6 +74,16 @@ def _pairs_bench(n, name):
         )
 
     m = time_op(op, (kp, ip, vp), name=name, items=n, bytes_moved=24 * n)
+    # correctness gate on the timed artifact: keys sorted, permutation valid
+    # and stable (ties keep original order <=> (key, idx) is nondecreasing)
+    import jax
+
+    k_out, i_out, _ = jax.device_get(jax.jit(op)((kp, ip, vp)))
+    k_out = k_out.reshape(-1).astype(np.uint32) ^ np.uint32(0x80000000)
+    i_out = i_out.reshape(-1)
+    assert np.array_equal(k_out, np.sort(keys)), "pairs keys not sorted!"
+    assert np.array_equal(keys[i_out], k_out), "pairs payload not a valid permutation!"
+    assert np.all((k_out[:-1] < k_out[1:]) | (i_out[:-1] < i_out[1:])), "pairs sort not stable!"
     return m
 
 
@@ -89,16 +99,28 @@ def _groupby_bench(n, name):
         n = min(n, 1 << 15)
     keys = (runtime.gen_uniform(n, seed=3) % 10007).astype(np.uint32)
     vals = runtime.gen_uniform(n, seed=4)
-    from radx_tpu.utils import Metrics
-    import time as _t
+    from radx_tpu.utils import time_op
 
     kj, vj = jnp.asarray(keys), jnp.asarray(vals)
-    f = jax.jit(lambda k, v: groupby(k, v, "sum", cfg))
-    jax.device_get(jax.tree.leaves(f(kj, vj))[0][:8])
-    t0 = _t.perf_counter()
-    jax.device_get(jax.tree.leaves(f(kj, vj))[0][:8])
-    dt = _t.perf_counter() - t0
-    return Metrics(name=name, seconds=dt, items=n, bytes_moved=16 * n)
+
+    # groupby preserves (keys, values) shapes (outputs are padded to n), so
+    # the chained-timing discipline applies: feed (uk, agg) back in.
+    def op(kv):
+        uk, agg, _ = groupby(kv[0], kv[1], "sum", cfg)
+        return (uk, agg)
+
+    m = time_op(op, (kj, vj), name=name, items=n, bytes_moved=16 * n, iters=4)
+    # correctness gate on the timed artifact
+    uk, agg, ng = jax.jit(lambda k, v: groupby(k, v, "sum", cfg))(kj, vj)
+    ng = int(ng)
+    uk = np.asarray(jax.device_get(uk))[:ng]
+    agg = np.asarray(jax.device_get(agg))[:ng]
+    want_k = np.unique(keys)
+    assert np.array_equal(uk, want_k), "groupby keys wrong!"
+    want_sum = np.zeros(want_k.shape, np.uint64)
+    np.add.at(want_sum, np.searchsorted(want_k, keys), vals.astype(np.uint64))
+    assert np.array_equal(agg, want_sum.astype(np.uint32)), "groupby sums wrong!"
+    return m
 
 
 CONFIGS = {

@@ -7,9 +7,10 @@ with the Pallas pipeline, mark run boundaries, and reduce each run with a
 segmented scan.  The digit-histogram machinery the reference uses per pass
 (counting.comp) reappears here as the boundary/segment bookkeeping.
 
-Aggregations: sum, count, min, max (uint32 values; float32 sums via the
-f32 path).  Output is padded to the input length with `num_groups` valid
-rows (static shapes — XLA cannot return data-dependent sizes).
+Aggregations: sum, count, min, max over uint32 / int32 / float32 values
+(payloads ride the sort as raw 32-bit planes; arithmetic runs in the value
+dtype).  Output is padded to the input length with `num_groups` valid rows
+(static shapes — XLA cannot return data-dependent sizes).
 """
 
 from __future__ import annotations
@@ -21,8 +22,6 @@ import jax.numpy as jnp
 
 from radx_tpu.config import SortConfig
 from radx_tpu.ops import sort as sort_ops
-
-_U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "agg"))
@@ -43,27 +42,30 @@ def _groupby_jit(keys, values, cfg: SortConfig, agg: str):
     if agg == "count":
         acc = jnp.ones((n,), jnp.int32)
         combine = lambda a, b: a + b
-        fill = jnp.int32(0)
     elif agg == "sum":
         acc = svals
         combine = lambda a, b: a + b
-        fill = jnp.zeros((), svals.dtype)
     elif agg == "min":
         acc = svals
         combine = jnp.minimum
-        fill = jnp.full((), _U32_MAX, svals.dtype)
     elif agg == "max":
         acc = svals
         combine = jnp.maximum
-        fill = jnp.zeros((), svals.dtype)
     else:  # pragma: no cover
         raise ValueError(agg)
 
+    # Segment gate: same key at distance s AND position i-s exists.  Gating
+    # on position validity (not a key-value sentinel) makes every key value
+    # legal, including 0xFFFFFFFF, and makes the shifted fill value inert —
+    # so no per-dtype scan identities are needed.
+    pos = jax.lax.iota(jnp.int32, n)
+    fill = jnp.zeros((), acc.dtype)
     s = 1
     while s < n:
-        pk = jnp.concatenate([jnp.full((s,), _U32_MAX), skeys[:-s]])
+        pk = jnp.concatenate([jnp.zeros((s,), skeys.dtype), skeys[:-s]])
         pa = jnp.concatenate([jnp.full((s,), fill), acc[:-s]])
-        acc = jnp.where(skeys == pk, combine(acc, pa), acc)
+        take = (pos >= s) & (skeys == pk)
+        acc = jnp.where(take, combine(acc, pa), acc)
         s *= 2
 
     nxt = jnp.concatenate([skeys[1:], skeys[:1] ^ jnp.uint32(1)])
@@ -78,15 +80,16 @@ def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):
 
     Returns (unique_keys, aggregates, num_groups): arrays padded to len(keys)
     — rows beyond num_groups are garbage.  Unique keys are ascending.
-    uint32 sums wrap at 2^32 (like C unsigned arithmetic).
+    uint32 sums wrap at 2^32 (like C unsigned arithmetic); float32 sums
+    accumulate in f32 with run-doubling order (deterministic).
     """
     cfg = cfg or SortConfig()
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
     if keys.dtype != jnp.uint32:
         raise TypeError("keys must be uint32")
-    if values.dtype not in (jnp.uint32, jnp.int32):
-        raise TypeError("values must be uint32/int32")
+    if values.dtype not in (jnp.uint32, jnp.int32, jnp.float32):
+        raise TypeError("values must be uint32/int32/float32")
     if values.shape != keys.shape:
         raise ValueError("values must match keys shape")
     if agg not in ("sum", "count", "min", "max"):

@@ -211,6 +211,58 @@ def _sort_u64_jit(hi, lo, cfg: SortConfig, n: int):
     return h, l
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _sort_multi_jit(keys, payloads, cfg: SortConfig, n: int):
+    """Stable sort of uint32 keys with k ride-along i32 payload planes.
+
+    All payload columns travel through the bitonic exchanges as extra
+    planes — no post-sort gather (the XLA gather at 2^28 is the pathological
+    primitive the engine avoids; see NOTES.md)."""
+    total = _pad_len(n)
+    planes = [_key_plane(keys, total), _iota_plane(total)]
+    for p in payloads:
+        planes.append(
+            jax.lax.bitcast_convert_type(
+                jnp.zeros((total,), p.dtype).at[:n].set(p), jnp.int32
+            ).reshape(total // LANES, LANES)
+        )
+    if cfg.strategy == "lax":
+        outs = jax.lax.sort(
+            tuple(p.reshape(-1) for p in planes), num_keys=2
+        )
+    else:
+        outs = [
+            p.reshape(-1)
+            for p in bitonic.sort_planes(
+                planes, cfg.stable_chunk_rows, num_cmp=2,
+                interpret=resolve_interpret(cfg),
+            )
+        ]
+    sorted_keys = (outs[0][:n].astype(jnp.uint32)) ^ _SIGN
+    return sorted_keys, [o[:n] for o in outs[2:]]
+
+
+def sort_multi(keys, payloads, cfg: SortConfig | None = None):
+    """Stable sort of uint32 keys carrying any number of 32-bit payload
+    columns through the pipeline.  Returns (sorted_keys, payloads_out)."""
+    cfg = cfg or SortConfig()
+    keys = _as_u32(keys)
+    payloads = [jnp.asarray(p) for p in payloads]
+    for p in payloads:
+        if p.shape != keys.shape:
+            raise ValueError("payloads must match keys shape")
+        if p.dtype.itemsize != 4:
+            raise TypeError("payloads must be 32-bit dtypes")
+    n = keys.shape[0]
+    if n <= 1:
+        return keys, payloads
+    k, outs = _sort_multi_jit(keys, tuple(payloads), cfg, n)
+    return k, [
+        jax.lax.bitcast_convert_type(o, p.dtype)
+        for o, p in zip(outs, payloads)
+    ]
+
+
 def sort_pairs(keys, payload, cfg: SortConfig | None = None):
     """Stable key+payload sort — the capability RadX stubs but never ships
     (indiction/permutation dispatches absent from Radix::command,
@@ -220,10 +272,10 @@ def sort_pairs(keys, payload, cfg: SortConfig | None = None):
     payload = jnp.asarray(payload)
     if payload.shape != keys.shape:
         raise ValueError("payload must match keys shape")
+    if payload.dtype.itemsize != 4:
+        raise TypeError("payload must be a 32-bit dtype")
     n = keys.shape[0]
     if n <= 1:
         return keys, payload
-    if payload.dtype.itemsize != 4:
-        raise TypeError("payload must be a 32-bit dtype")
     k, p = _sort_stable_jit(keys, payload, cfg, n, True)
     return k, jax.lax.bitcast_convert_type(p, payload.dtype)

@@ -62,10 +62,13 @@ class Table:
         enc = sort_ops._encode_keys(keys)
         if descending:
             enc = ~enc
-        perm = sort_ops.argsort(enc, cfg)
-        # apply the permutation to every column via gather (XLA); the sort
-        # itself ran in the Pallas pipeline
-        return Table({k: v[perm] for k, v in self.columns.items()})
+        # every column rides the bitonic exchanges as an extra plane — no
+        # post-sort gather (pathological on TPU at 2^28, NOTES.md)
+        names = list(self.columns)
+        _, outs = sort_ops.sort_multi(
+            enc, [self.columns[n] for n in names], cfg
+        )
+        return Table(dict(zip(names, outs)))
 
     def filter(self, mask, cfg: SortConfig | None = None) -> "Table":
         """Keep rows where mask != 0 (stable)."""

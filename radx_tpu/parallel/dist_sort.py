@@ -137,6 +137,10 @@ def sort_sharded(
     sorted sequence.
     """
     cfg = cfg or SortConfig()
+    if keys.dtype != jnp.uint32:
+        # int32 keys would take arithmetic right-shifts for the splitter
+        # prefix and silently corrupt the histogram — reject like ops.sort.
+        raise TypeError(f"keys must be uint32, got {keys.dtype}")
     n_dev = mesh.shape[axis]
     n = keys.shape[0]
     if n % n_dev:

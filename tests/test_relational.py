@@ -127,3 +127,51 @@ def test_join_duplicates(rng):
     # truncation flag
     *_, trunc = join_inner(bk, bv, pk, pv, max_matches=2, cfg=CFG)
     assert bool(trunc)
+
+
+@pytest.mark.parametrize("agg", ["min", "max"])
+def test_groupby_int32_values(rng, agg):
+    # ADVICE round 1: int32 min/max used wrong scan identities and a
+    # 0xFFFFFFFF key sentinel that collides with a legal key value.
+    n = 100
+    keys = np.full(n, 0xFFFFFFFF, np.uint32)
+    vals = rng.integers(-1000, 1000, n).astype(np.int32)
+    uk, out, ng = groupby(keys, vals, agg, CFG)
+    assert int(ng) == 1
+    want = vals.min() if agg == "min" else vals.max()
+    assert int(np.asarray(out)[0]) == want
+
+
+@pytest.mark.parametrize("agg", ["sum", "min", "max"])
+def test_groupby_float32_values(rng, agg):
+    n = 5000
+    keys = rng.integers(0, 37, n, dtype=np.uint32)
+    vals = rng.normal(size=n).astype(np.float32)
+    uk, out, ng = groupby(keys, vals, agg, CFG)
+    ng = int(ng)
+    uniq = np.unique(keys)
+    assert ng == uniq.size
+    got = np.asarray(out)[:ng]
+    for i, u in enumerate(uniq):
+        sel = vals[keys == u]
+        if agg == "sum":
+            assert np.isclose(got[i], sel.sum(dtype=np.float64), rtol=1e-4)
+        elif agg == "min":
+            assert got[i] == sel.min()
+        else:
+            assert got[i] == sel.max()
+
+
+def test_groupby_mixed_keys_int32_min(rng):
+    # several groups, negative int32 values, including the max-key group
+    n = 1000
+    keys = rng.choice(
+        np.array([0, 5, 0xFFFFFFFF], np.uint32), size=n
+    ).astype(np.uint32)
+    vals = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+    uk, out, ng = groupby(keys, vals, "min", CFG)
+    ng = int(ng)
+    uniq = np.unique(keys)
+    np.testing.assert_array_equal(np.asarray(uk)[:ng], uniq)
+    want = np.array([vals[keys == u].min() for u in uniq], np.int32)
+    np.testing.assert_array_equal(np.asarray(out)[:ng], want)

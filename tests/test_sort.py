@@ -98,3 +98,21 @@ def test_vs_native_oracle(rng):
     keys = rng.integers(0, 2**32, 100_000, dtype=np.uint32)
     got = np.asarray(sort_mod.sort(keys, SortConfig(chunk_rows=64)))
     np.testing.assert_array_equal(got, native.sort_u32(keys))
+
+
+def test_sort_multi_planes(rng):
+    from radx_tpu.ops.sort import sort_multi
+
+    n = 4096
+    keys = rng.integers(0, 64, n, dtype=np.uint32)  # many duplicates
+    p1 = np.arange(n, dtype=np.int32)
+    p2 = rng.normal(size=n).astype(np.float32)
+    p3 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    cfg = SortConfig(chunk_rows=8)
+    k, (o1, o2, o3) = sort_multi(keys, [p1, p2, p3], cfg)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(o1), p1[order])  # stability
+    np.testing.assert_array_equal(np.asarray(o2), p2[order])
+    np.testing.assert_array_equal(np.asarray(o3), p3[order])
+    assert np.asarray(o2).dtype == np.float32
