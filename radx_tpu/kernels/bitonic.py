@@ -68,7 +68,7 @@ def _flat_iota(rows):
     return r * LANES + l
 
 
-def _substage(planes, dj, up_i, flat, num_cmp, axis=None):
+def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
     """One compare-exchange at distance d = 2^dj; up_i is the i32 {0,1}
     ascending mask for the current level.
 
@@ -84,9 +84,33 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None):
 
     axis: 0 → d is a multiple of 128 (sublane roll only), 1 → d < 128
     (lane roll only), None → composite roll (d may straddle; used by tests).
+
+    Lane-distance exchanges (axis=1) use the XOR-partner dynamic-gather
+    formulation instead of rolls: tpu.dynamic_gather along lanes is
+    measured at HBM rate on v5e (tools/probe_gather2.py: 49 G elems/s,
+    substage 517 G elem-substages/s ≈ 2.3x the roll form) — each lane
+    reads its partner lane^d directly, one gather + one select per plane.
+    `gather=False` keeps the roll form — used in interpret mode, where the
+    CPU emulation of a per-lane gather is far slower than a roll.
     """
     static = isinstance(dj, int)
     d = (1 << dj) if static else (jnp.int32(1) << dj)
+
+    if axis == 1 and gather:
+        lane = jax.lax.broadcasted_iota(jnp.int32, planes[0].shape, 1)
+        idx = lane ^ d
+        ys = [jnp.take_along_axis(x, idx, axis=1) for x in planes]
+        x0, y0 = planes[0], ys[0]
+        if num_cmp == 1:
+            y_lt_i = (y0 < x0).astype(jnp.int32)
+        else:
+            x1, y1 = planes[1], ys[1]
+            y_lt_i = (y0 < x0).astype(jnp.int32) | (
+                (y0 == x0).astype(jnp.int32) & (y1 < x1).astype(jnp.int32)
+            )
+        is_high_i = (flat & d != 0).astype(jnp.int32)
+        take_y = (1 - (y_lt_i ^ up_i ^ is_high_i)) != 0
+        return [jnp.where(take_y, y, x) for x, y in zip(planes, ys)]
 
     def roll(x, sh, ax):
         if isinstance(sh, int):
@@ -131,7 +155,7 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None):
     return out
 
 
-def _chunk_sort_kernel(num_cmp, log_c, _scalar_ref, *refs):
+def _chunk_sort_kernel(num_cmp, log_c, gather, _scalar_ref, *refs):
     n = len(refs) // 2
     in_refs, out_refs = refs[:n], refs[n:]
     rows = in_refs[0].shape[1]
@@ -146,7 +170,8 @@ def _chunk_sort_kernel(num_cmp, log_c, _scalar_ref, *refs):
         for dj in range(kk - 1, -1, -1):
             # Distances >= 128 need sublane rolls only; < 128 lane rolls only.
             planes = _substage(
-                planes, dj, up_i, flat, num_cmp, axis=0 if dj >= 7 else 1
+                planes, dj, up_i, flat, num_cmp,
+                axis=0 if dj >= 7 else 1, gather=gather,
             )
     for o, x in zip(out_refs, planes):
         o[0] = x
@@ -189,7 +214,7 @@ def _cross_stage2_kernel(num_cmp, up_ref, *refs):
             o[0, i, 0] = x
 
 
-def _finish2_kernel(num_cmp, log_c, kk_ref, *refs):
+def _finish2_kernel(num_cmp, log_c, gather, kk_ref, *refs):
     """Fused tail of a merge level: the last cross exchange (chunk distance
     1) plus all intra-chunk substages for BOTH chunks, one read+write.
 
@@ -215,7 +240,8 @@ def _finish2_kernel(num_cmp, log_c, kk_ref, *refs):
         up_i = 1 - ((gflat >> kk) & 1)
         for dj in range(log_c - 1, -1, -1):
             planes = _substage(
-                planes, dj, up_i, flat, num_cmp, axis=0 if dj >= 7 else 1
+                planes, dj, up_i, flat, num_cmp,
+                axis=0 if dj >= 7 else 1, gather=gather,
             )
         for o, x in zip(out_refs, planes):
             o[0, h, 0] = x
@@ -251,6 +277,22 @@ def _cross_stage_kernel(num_cmp, up_ref, *refs):
         o[0, 1, 0] = jnp.where(swap, x, y)
 
 
+def merge_sorted_chunks(planes, chunk_rows, num_cmp, interpret=False):
+    """Merge pre-sorted chunks into one ascending sequence.
+
+    Precondition: chunk g (of chunk_rows*128 elements, flat row-major) is
+    sorted ascending for even g and descending for odd g — the standard
+    bitonic level invariant.  Runs only the cross/finish merge levels
+    (log2(n_chunks) of them) instead of a full sort: this is the D-way
+    merge of already-sorted all_to_all runs in the distributed pipeline
+    (each source device pre-sorts in its parity's direction, so no flip
+    pass is needed).
+    """
+    return _sort_pipeline(
+        planes, chunk_rows, num_cmp, interpret, presorted=True
+    )
+
+
 def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
     """Sort i32 planes (each shape (rows, 128)) ascending by planes[0]
     (then planes[1] if num_cmp == 2) in flat row-major order.
@@ -262,6 +304,12 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
     descriptor pair, radx_implement.inl:371-386, falls out of XLA buffer
     donation).
     """
+    return _sort_pipeline(
+        planes, chunk_rows, num_cmp, interpret, presorted=False
+    )
+
+
+def _sort_pipeline(planes, chunk_rows, num_cmp, interpret, presorted):
     rows = planes[0].shape[0]
     n_planes = len(planes)
     total = rows * LANES
@@ -303,10 +351,14 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
         )(scalar, *[p.reshape(n_chunks, c_rows, LANES) for p in planes])
         return [o.reshape(rows, LANES) for o in out]
 
-    zero = jnp.zeros((1,), jnp.int32)
-    planes = chunked_call(
-        functools.partial(_chunk_sort_kernel, num_cmp, log_c), zero
-    )
+    if not presorted:
+        zero = jnp.zeros((1,), jnp.int32)
+        planes = chunked_call(
+            functools.partial(
+                _chunk_sort_kernel, num_cmp, log_c, not interpret
+            ),
+            zero,
+        )
 
     cross = functools.partial(_cross_stage_kernel, num_cmp)
     cross2 = functools.partial(_cross_stage2_kernel, num_cmp)
@@ -340,7 +392,7 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
         )(up_tab, *[p.reshape(A, width, J, c_rows, LANES) for p in planes])
         return [o.reshape(rows, LANES) for o in out]
 
-    finish2 = functools.partial(_finish2_kernel, num_cmp, log_c)
+    finish2 = functools.partial(_finish2_kernel, num_cmp, log_c, not interpret)
     f2_spec = pl.BlockSpec(
         (1, 2, 1, c_rows, LANES), lambda a, s: (a, 0, 0, 0, 0)
     )
