@@ -219,8 +219,8 @@ def _finish2_kernel(num_cmp, log_c, gather, kk_ref, *refs):
     1) plus all intra-chunk substages for BOTH chunks, one read+write.
 
     Block view per plane: (1, 2, 1, c_rows, 128) — chunk pair (2a, 2a+1).
-    kk_ref[0] holds the level; direction bits are computed per half from
-    its own chunk id.
+    kk_ref[0] holds the level, kk_ref[1] the global direction inversion
+    ({0,1}); direction bits are computed per half from its own chunk id.
     """
     n = len(refs) // 2
     in_refs, out_refs = refs[:n], refs[n:]
@@ -228,16 +228,17 @@ def _finish2_kernel(num_cmp, log_c, gather, kk_ref, *refs):
     flat = _flat_iota(rows)
     a = pl.program_id(0)
     kk = kk_ref[0]
+    inv = kk_ref[1]
 
     lo = [r[0, 0, 0] for r in in_refs]
     hi = [r[0, 1, 0] for r in in_refs]
-    up_cross = 1 - ((a >> (kk - log_c - 1)) & 1)
+    up_cross = (1 - ((a >> (kk - log_c - 1)) & 1)) ^ inv
     lo, hi = _cross_pair(lo, hi, up_cross, num_cmp)
 
     c = rows * LANES
     for h, planes in ((0, lo), (1, hi)):
         gflat = flat + (2 * a + h) * c
-        up_i = 1 - ((gflat >> kk) & 1)
+        up_i = (1 - ((gflat >> kk) & 1)) ^ inv
         for dj in range(log_c - 1, -1, -1):
             planes = _substage(
                 planes, dj, up_i, flat, num_cmp,
@@ -293,6 +294,28 @@ def merge_sorted_chunks(planes, chunk_rows, num_cmp, interpret=False):
     )
 
 
+def merge_sorted_runs(
+    planes, log_run, num_cmp, chunk_rows, descending=False, interpret=False
+):
+    """Merge alternating-direction sorted runs of 2^log_run elements each.
+
+    Precondition: run r (flat row-major) is sorted ascending for even r,
+    descending for odd r.  Runs the log2(n_runs) merge levels above
+    `log_run` only — a true multi-way merge, O(N · log(n_runs) · log_run)
+    instead of a full O(N log²N) sort.  `descending=True` inverts every
+    direction bit so the final sequence comes out descending (used by the
+    pairwise merge tree in parallel/dist_sort to feed parent merges
+    without materialized flips).  2^log_run must be a multiple of the
+    chunk size (chunk_rows·128, clamped down to the run length).
+    """
+    run = 1 << log_run
+    chunk_rows = min(chunk_rows, run // LANES)
+    return _sort_pipeline(
+        planes, chunk_rows, num_cmp, interpret,
+        presorted=True, presorted_log=log_run, invert=descending,
+    )
+
+
 def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
     """Sort i32 planes (each shape (rows, 128)) ascending by planes[0]
     (then planes[1] if num_cmp == 2) in flat row-major order.
@@ -309,13 +332,20 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
     )
 
 
-def _sort_pipeline(planes, chunk_rows, num_cmp, interpret, presorted):
+def _sort_pipeline(
+    planes, chunk_rows, num_cmp, interpret, presorted,
+    presorted_log=None, invert=False,
+):
     rows = planes[0].shape[0]
     n_planes = len(planes)
     total = rows * LANES
     c = min(chunk_rows * LANES, total)
     c_rows = c // LANES
     log_c, log_n = _log2(c), _log2(total)
+    if presorted_log is None:
+        presorted_log = log_c
+    assert presorted_log >= log_c, (presorted_log, log_c)
+    assert not invert or presorted, "invert only applies to merges"
     n_chunks = total // c
     # indices include the scalar-prefetch operand, hence the +1 shift
     alias = {1 + i: i for i in range(n_planes)}
@@ -368,7 +398,9 @@ def _sort_pipeline(planes, chunk_rows, num_cmp, interpret, presorted):
         J = 1 << j_low
         A = n_chunks // (width * J)
         up_tab = jnp.asarray(
-            1 - ((np.arange(A, dtype=np.int32) >> up_bit) & 1), jnp.int32
+            (1 - ((np.arange(A, dtype=np.int32) >> up_bit) & 1))
+            ^ int(invert),
+            jnp.int32,
         )
         spec = pl.BlockSpec(
             (1, width, 1, c_rows, LANES), lambda a, r, s: (a, 0, r, 0, 0)
@@ -403,7 +435,8 @@ def _sort_pipeline(planes, chunk_rows, num_cmp, interpret, presorted):
         out_specs=[f2_spec] * n_planes,
     )
 
-    for kk in range(log_c + 1, log_n + 1):
+    start_kk = (presorted_log if presorted else log_c) + 1
+    for kk in range(start_kk, log_n + 1):
         kk_chunks = kk - log_c
         # cross distances down to chunk-distance 2; the final distance-1
         # exchange is fused into the finish pass (_finish2_kernel)
@@ -432,7 +465,7 @@ def _sort_pipeline(planes, chunk_rows, num_cmp, interpret, presorted):
             compiler_params=params,
             interpret=interpret,
         )(
-            jnp.full((1,), kk, jnp.int32),
+            jnp.asarray([kk, int(invert)], jnp.int32),
             *[p.reshape(n_chunks // 2, 2, 1, c_rows, LANES) for p in planes],
         )
         planes = [o.reshape(rows, LANES) for o in out]

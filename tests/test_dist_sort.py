@@ -69,3 +69,100 @@ def test_sentinel_keys(rng):
     assert not overflow.any()
     got = dist_sort.collect(out, valid)
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_no_overlap_matches(rng):
+    keys = rng.integers(0, 2**32, 1 << 13, dtype=np.uint32)
+    mesh = make_mesh(8)
+    out, valid, overflow = dist_sort.sort_sharded(
+        _shard(keys, mesh), mesh, cfg=CFG, overlap=False
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    got = dist_sort.collect(out, valid)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def _shard(arr, mesh):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P("d")))
+
+
+@pytest.mark.parametrize("overlap", [True, False])
+def test_pairs_payload_follows_keys(rng, overlap):
+    n = 1 << 13
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    mesh = make_mesh(4)
+    k, v, valid, overflow = dist_sort.sort_pairs_sharded(
+        _shard(keys, mesh), _shard(vals, mesh), mesh, cfg=CFG,
+        overlap=overlap,
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    gk = dist_sort.collect(k, valid)
+    gv = dist_sort.collect(v, valid)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, vals[order])
+
+
+def test_pairs_stable_duplicates(rng):
+    # many duplicate keys across shard boundaries: stable=True must keep
+    # the original global order of equal keys.
+    n = 1 << 13
+    keys = rng.integers(0, 16, n, dtype=np.uint32) << 28
+    vals = np.arange(n, dtype=np.uint32)
+    mesh = make_mesh(8)
+    k, v, valid, overflow = dist_sort.sort_pairs_sharded(
+        _shard(keys, mesh), _shard(vals, mesh), mesh, capacity=8,
+        cfg=CFG, stable=True,
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    gk = dist_sort.collect(k, valid)
+    gv = dist_sort.collect(v, valid)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, vals[order])
+
+
+def test_pairs_sentinel_keys_keep_payloads(rng):
+    # keys equal to 0xFFFFFFFF tie with the pad sentinel; their payloads
+    # must still land inside the valid prefix.
+    n = 1 << 12
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    keys[: n // 4] = 0xFFFFFFFF
+    vals = np.arange(n, dtype=np.int32)
+    mesh = make_mesh(4)
+    k, v, valid, overflow = dist_sort.sort_pairs_sharded(
+        _shard(keys, mesh), _shard(vals, mesh), mesh, capacity=8,
+        cfg=CFG, stable=True,
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    gk = dist_sort.collect(k, valid)
+    gv = dist_sort.collect(v, valid)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, vals[order].astype(np.int32))
+
+
+def test_argsort_global_indices(rng):
+    n = 1 << 13
+    keys = rng.integers(0, 256, n, dtype=np.uint32)  # heavy duplicates
+    mesh = make_mesh(8)
+    k, idx, valid, overflow = dist_sort.argsort_sharded(
+        _shard(keys, mesh), mesh, capacity=8, cfg=CFG
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    gk = dist_sort.collect(k, valid)
+    gi = dist_sort.collect(idx, valid)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gi, order.astype(np.int32))
+    np.testing.assert_array_equal(gk, keys[order])
+
+
+def test_rejects_non_u32():
+    mesh = make_mesh(2)
+    keys = np.arange(1 << 10, dtype=np.int32)
+    with pytest.raises(TypeError):
+        dist_sort.sort_sharded(_shard(keys, mesh), mesh, cfg=CFG)

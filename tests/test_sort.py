@@ -116,3 +116,32 @@ def test_sort_multi_planes(rng):
     np.testing.assert_array_equal(np.asarray(o2), p2[order])
     np.testing.assert_array_equal(np.asarray(o3), p3[order])
     assert np.asarray(o2).dtype == np.float32
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_merge_sorted_runs(rng, descending):
+    """Unit test for the multi-way run merge (kernels/bitonic): alternating
+    asc/desc pre-sorted runs -> one sorted sequence, skipping all levels at
+    or below the run length."""
+    import jax.numpy as jnp
+    from radx_tpu.kernels import bitonic
+
+    log_run, n_runs = 11, 8
+    run = 1 << log_run
+    n = run * n_runs
+    keys = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+    arranged = keys.reshape(n_runs, run).copy()
+    for r in range(n_runs):
+        arranged[r] = np.sort(arranged[r])
+        if r % 2 == 1:
+            arranged[r] = arranged[r][::-1]
+    planes = [jnp.asarray(arranged.reshape(-1, 128))]
+    out = bitonic.merge_sorted_runs(
+        planes, log_run, num_cmp=1, chunk_rows=8,
+        descending=descending, interpret=True,
+    )
+    got = np.asarray(out[0]).reshape(-1)
+    want = np.sort(keys)
+    if descending:
+        want = want[::-1]
+    np.testing.assert_array_equal(got, want)
