@@ -38,6 +38,11 @@ class SortConfig:
       strategy: single-chip sort strategy —
         ``"bitonic"``: flagship Pallas bitonic merge network (static data
         movement; kernels/bitonic.py);
+        ``"radix"``: the MSD split sort (kernels/msd.py) — the production
+        radix path mirroring the reference's counting/partition/scattering
+        pipeline at chunk granularity; falls back to the bitonic network
+        (lax.cond) when the size is unsupported or the sample splitters
+        overflow under adversarial skew;
         ``"lax"``: jax.lax.sort fallback — the analogue of RadX's
         lowest-common-denominator "universal" SPIR-V variant.
       chunk_rows: bitonic VMEM chunk height; one chunk = chunk_rows*128
@@ -79,7 +84,7 @@ class SortConfig:
             raise ValueError(f"unsupported bits_per_pass={self.bits_per_pass}")
         if self.tile_rows < 1:
             raise ValueError("tile_rows must be >= 1")
-        if self.strategy not in ("bitonic", "lax"):
+        if self.strategy not in ("bitonic", "radix", "lax"):
             raise ValueError(f"unknown sort strategy {self.strategy!r}")
         for cr in (self.chunk_rows, self.stable_chunk_rows):
             if cr < 8 or cr & (cr - 1):

@@ -155,15 +155,9 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
     return out
 
 
-def _chunk_sort_kernel(num_cmp, log_c, gather, _scalar_ref, *refs):
-    n = len(refs) // 2
-    in_refs, out_refs = refs[:n], refs[n:]
-    rows = in_refs[0].shape[1]
-    flat = _flat_iota(rows)
-    gflat = flat + pl.program_id(0) * (rows * LANES)
-    planes = tuple(r[0] for r in in_refs)
-
-    # Fully static network: every roll distance is a compile-time constant.
+def _chunk_network(planes, gflat, flat, log_c, num_cmp, gather):
+    """The full intra-chunk bitonic network (stages 1..log_c) on VMEM-resident
+    planes.  Fully static: every roll distance is a compile-time constant."""
     planes = list(planes)
     for kk in range(1, log_c + 1):
         up_i = 1 - ((gflat >> kk) & 1)
@@ -173,6 +167,38 @@ def _chunk_sort_kernel(num_cmp, log_c, gather, _scalar_ref, *refs):
                 planes, dj, up_i, flat, num_cmp,
                 axis=0 if dj >= 7 else 1, gather=gather,
             )
+    return planes
+
+
+def _chunk_sort_kernel(num_cmp, log_c, gather, ascending, _scalar_ref, *refs):
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    rows = in_refs[0].shape[1]
+    flat = _flat_iota(rows)
+    # Alternating directions come from the chunk-parity bit of the global
+    # flat index; `ascending` drops it so every chunk sorts ascending
+    # independently (the MSD engine's phase-1/phase-C contract).
+    gflat = flat if ascending else flat + pl.program_id(0) * (rows * LANES)
+    planes = _chunk_network(
+        [r[0] for r in in_refs], gflat, flat, log_c, num_cmp, gather
+    )
+    for o, x in zip(out_refs, planes):
+        o[0] = x
+
+
+def _chunk_sort_cyclic_kernel(num_cmp, log_c, gather, _scalar_ref, *refs):
+    """Ascending chunk sort whose input block is the block-cyclic view
+    (n_groups, 1, t_rows, 128) — chunk c owns every n_chunks-th tile of the
+    flat array, so locally-ordered inputs (presorted/reverse/clustered)
+    spread evenly over all chunks and the MSD engine's per-(chunk,bucket)
+    runs stay balanced.  Output is written contiguously (c_rows, 128)."""
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    shp = in_refs[0].shape  # (n_groups, 1, t_rows, LANES)
+    rows = shp[0] * shp[2]
+    flat = _flat_iota(rows)
+    planes = [r[:, 0].reshape(rows, LANES) for r in in_refs]
+    planes = _chunk_network(planes, flat, flat, log_c, num_cmp, gather)
     for o, x in zip(out_refs, planes):
         o[0] = x
 
@@ -214,34 +240,38 @@ def _cross_stage2_kernel(num_cmp, up_ref, *refs):
             o[0, i, 0] = x
 
 
-def _finish2_kernel(num_cmp, log_c, gather, kk_ref, *refs):
-    """Fused tail of a merge level: the last cross exchange (chunk distance
-    1) plus all intra-chunk substages for BOTH chunks, one read+write.
+def _finishw_kernel(num_cmp, log_c, gather, m, scal_ref, *refs):
+    """Fused tail of a merge level over W = 2^m chunks: the last m cross
+    exchanges (chunk distances W/2 .. 1) plus all intra-chunk substages for
+    every chunk in the block — one read+write of the W-chunk slab instead
+    of m cross passes + a finish pass.
 
-    Block view per plane: (1, 2, 1, c_rows, 128) — chunk pair (2a, 2a+1).
-    kk_ref[0] holds the level, kk_ref[1] the global direction inversion
-    ({0,1}); direction bits are computed per half from its own chunk id.
+    Block view per plane: (1, W, 1, c_rows, 128) — chunks a*W .. a*W+W-1.
+    Precondition: the level's merge-group span is >= W chunks, so the whole
+    block shares one direction bit — scal_ref[0] holds kk - log_c - m (the
+    shift mapping block id a to that bit), scal_ref[1] the global direction
+    inversion ({0,1}).
     """
     n = len(refs) // 2
     in_refs, out_refs = refs[:n], refs[n:]
     rows = in_refs[0].shape[3]
     flat = _flat_iota(rows)
     a = pl.program_id(0)
-    kk = kk_ref[0]
-    inv = kk_ref[1]
+    up = (1 - ((a >> scal_ref[0]) & 1)) ^ scal_ref[1]
 
-    lo = [r[0, 0, 0] for r in in_refs]
-    hi = [r[0, 1, 0] for r in in_refs]
-    up_cross = (1 - ((a >> (kk - log_c - 1)) & 1)) ^ inv
-    lo, hi = _cross_pair(lo, hi, up_cross, num_cmp)
+    w = 1 << m
+    b = [[r[0, i, 0] for r in in_refs] for i in range(w)]
+    for s in range(m - 1, -1, -1):
+        j = 1 << s
+        for i in range(w):
+            if not i & j:
+                b[i], b[i | j] = _cross_pair(b[i], b[i | j], up, num_cmp)
 
-    c = rows * LANES
-    for h, planes in ((0, lo), (1, hi)):
-        gflat = flat + (2 * a + h) * c
-        up_i = (1 - ((gflat >> kk) & 1)) ^ inv
+    for h in range(w):
+        planes = b[h]
         for dj in range(log_c - 1, -1, -1):
             planes = _substage(
-                planes, dj, up_i, flat, num_cmp,
+                planes, dj, up, flat, num_cmp,
                 axis=0 if dj >= 7 else 1, gather=gather,
             )
         for o, x in zip(out_refs, planes):
@@ -276,6 +306,9 @@ def _cross_stage_kernel(num_cmp, up_ref, *refs):
     for o, x, y in zip(out_refs, lo, hi):
         o[0, 0, 0] = jnp.where(swap, y, x)
         o[0, 1, 0] = jnp.where(swap, x, y)
+
+
+FINISH_WIDTH = 8  # chunks fused per finish pass (VMEM-bounded; power of 2)
 
 
 def merge_sorted_chunks(planes, chunk_rows, num_cmp, interpret=False):
@@ -332,10 +365,98 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
     )
 
 
+def sort_chunks_ascending(planes, chunk_rows, num_cmp, interpret=False):
+    """Sort every chunk of chunk_rows*128 elements ascending, independently
+    (no cross-chunk merging).  The MSD engine's phase-1 local sort and
+    phase-C bucket sort: one compiled kernel serves both roles."""
+    rows = planes[0].shape[0]
+    n_planes = len(planes)
+    c_rows = min(chunk_rows, rows)
+    log_c = _log2(c_rows * LANES)
+    n_chunks = rows // c_rows
+    alias = {1 + i: i for i in range(n_planes)}
+    spec = pl.BlockSpec((1, c_rows, LANES), lambda i, s: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[spec] * n_planes,
+        out_specs=[spec] * n_planes,
+    )
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _chunk_sort_kernel, num_cmp, log_c, not interpret, True
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, c_rows, LANES), p.dtype)
+            for p in planes
+        ],
+        input_output_aliases=alias,
+        compiler_params=params,
+        interpret=interpret,
+    )(jnp.zeros((1,), jnp.int32),
+      *[p.reshape(n_chunks, c_rows, LANES) for p in planes])
+    return [o.reshape(rows, LANES) for o in out]
+
+
+def sort_chunks_ascending_cyclic(
+    planes, chunk_rows, num_cmp, t_rows: int = 8, interpret=False
+):
+    """Like sort_chunks_ascending, but chunk c is the *block-cyclic* tile set
+    {tile g*n_chunks + c} of t_rows-row tiles rather than a contiguous slab.
+    The MSD engine's phase-1 entry: any locally-correlated input (presorted,
+    reverse-sorted, value-clustered segments) lands evenly in every chunk,
+    so sample splitters stay balanced.  No aliasing (the strided input view
+    and contiguous output view overlap across grid steps)."""
+    rows = planes[0].shape[0]
+    n_planes = len(planes)
+    c_rows = min(chunk_rows, rows)
+    log_c = _log2(c_rows * LANES)
+    n_chunks = rows // c_rows
+    assert c_rows % t_rows == 0
+    n_groups = c_rows // t_rows
+    in_spec = pl.BlockSpec(
+        (n_groups, 1, t_rows, LANES), lambda i, s: (0, i, 0, 0)
+    )
+    out_spec = pl.BlockSpec((1, c_rows, LANES), lambda i, s: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[in_spec] * n_planes,
+        out_specs=[out_spec] * n_planes,
+    )
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _chunk_sort_cyclic_kernel, num_cmp, log_c, not interpret
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, c_rows, LANES), p.dtype)
+            for p in planes
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(jnp.zeros((1,), jnp.int32),
+      *[p.reshape(n_groups, n_chunks, t_rows, LANES) for p in planes])
+    return [o.reshape(rows, LANES) for o in out]
+
+
 def _sort_pipeline(
     planes, chunk_rows, num_cmp, interpret, presorted,
-    presorted_log=None, invert=False,
+    presorted_log=None, invert=False, finish_width=None,
 ):
+    if finish_width is None:
+        finish_width = FINISH_WIDTH
     rows = planes[0].shape[0]
     n_planes = len(planes)
     total = rows * LANES
@@ -385,7 +506,7 @@ def _sort_pipeline(
         zero = jnp.zeros((1,), jnp.int32)
         planes = chunked_call(
             functools.partial(
-                _chunk_sort_kernel, num_cmp, log_c, not interpret
+                _chunk_sort_kernel, num_cmp, log_c, not interpret, False
             ),
             zero,
         )
@@ -424,23 +545,49 @@ def _sort_pipeline(
         )(up_tab, *[p.reshape(A, width, J, c_rows, LANES) for p in planes])
         return [o.reshape(rows, LANES) for o in out]
 
-    finish2 = functools.partial(_finish2_kernel, num_cmp, log_c, not interpret)
-    f2_spec = pl.BlockSpec(
-        (1, 2, 1, c_rows, LANES), lambda a, s: (a, 0, 0, 0, 0)
-    )
-    f2_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_chunks // 2,),
-        in_specs=[f2_spec] * n_planes,
-        out_specs=[f2_spec] * n_planes,
-    )
+    def finish_call(m, kk):
+        """One fused finish pass over W = 2^m chunks at level kk."""
+        w = 1 << m
+        kern = functools.partial(
+            _finishw_kernel, num_cmp, log_c, not interpret, m
+        )
+        spec = pl.BlockSpec(
+            (1, w, 1, c_rows, LANES), lambda a, s: (a, 0, 0, 0, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks // w,),
+            in_specs=[spec] * n_planes,
+            out_specs=[spec] * n_planes,
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (n_chunks // w, w, 1, c_rows, LANES), p.dtype
+                )
+                for p in planes
+            ],
+            input_output_aliases=alias,
+            compiler_params=params,
+            interpret=interpret,
+        )(
+            jnp.asarray([kk - log_c - m, int(invert)], jnp.int32),
+            *[p.reshape(n_chunks // w, w, 1, c_rows, LANES) for p in planes],
+        )
+        return [o.reshape(rows, LANES) for o in out]
 
     start_kk = (presorted_log if presorted else log_c) + 1
     for kk in range(start_kk, log_n + 1):
         kk_chunks = kk - log_c
-        # cross distances down to chunk-distance 2; the final distance-1
-        # exchange is fused into the finish pass (_finish2_kernel)
-        djs = list(range(kk - 1, log_c, -1))  # consecutive, descending
+        # The finish pass absorbs the last m cross exchanges (chunk
+        # distances W/2..1) plus the intra-chunk tails; wider W = fewer
+        # full-array HBM passes per level, bounded by VMEM (finish_width).
+        m = min(kk_chunks, _log2(finish_width))
+        # cross distances down to chunk-distance W; everything below is
+        # fused into the finish pass
+        djs = list(range(kk - 1, log_c + m - 1, -1))  # consecutive, desc.
         i = 0
         while i < len(djs):
             if i + 1 < len(djs):
@@ -452,22 +599,6 @@ def _sort_pipeline(
                 j_chunks = djs[i] - log_c
                 planes = cross_call(cross, 2, j_chunks, kk_chunks - j_chunks - 1)
                 i += 1
-        out = pl.pallas_call(
-            finish2,
-            grid_spec=f2_grid,
-            out_shape=[
-                jax.ShapeDtypeStruct(
-                    (n_chunks // 2, 2, 1, c_rows, LANES), p.dtype
-                )
-                for p in planes
-            ],
-            input_output_aliases=alias,
-            compiler_params=params,
-            interpret=interpret,
-        )(
-            jnp.asarray([kk, int(invert)], jnp.int32),
-            *[p.reshape(n_chunks // 2, 2, 1, c_rows, LANES) for p in planes],
-        )
-        planes = [o.reshape(rows, LANES) for o in out]
+        planes = finish_call(m, kk)
 
     return planes

@@ -22,12 +22,46 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from radx_tpu.config import LANES, SortConfig, resolve_interpret
-from radx_tpu.kernels import bitonic
+from radx_tpu.kernels import bitonic, msd
 
-_SIGN = jnp.uint32(0x80000000)
-_PAD_KEY = jnp.int32(0x7FFFFFFF)  # sign-biased 0xFFFFFFFF: sorts to the end
+_SIGN = np.uint32(0x80000000)
+_PAD_KEY = np.int32(0x7FFFFFFF)  # sign-biased 0xFFFFFFFF: sorts to the end
+
+
+def _engine(planes, cfg: SortConfig, num_cmp: int, n: int):
+    """Dispatch i32 planes to the configured Pallas engine (not "lax").
+
+    strategy="radix" runs the MSD split sort (kernels/msd.py — the
+    reference's counting/partition/scattering pipeline re-cast at chunk
+    granularity, radx_implement.inl:421-447) and falls back to the bitonic
+    network under lax.cond when the sample splitters overflow (adversarial
+    duplicate skew) — so the dispatch stays fully jittable and total.
+    """
+    interpret = resolve_interpret(cfg)
+    chunk_rows = cfg.chunk_rows if num_cmp == 1 else cfg.stable_chunk_rows
+    if cfg.strategy == "radix":
+        total = planes[0].shape[0] * LANES
+        if msd.plan(total, chunk_rows) is not None:
+            outs, overflow = msd.sort_msd(
+                planes, chunk_rows, num_cmp,
+                interpret=interpret, n_valid=n,
+            )
+            return jax.lax.cond(
+                overflow,
+                lambda ps: tuple(
+                    bitonic.sort_planes(
+                        list(ps), chunk_rows, num_cmp, interpret=interpret
+                    )
+                ),
+                lambda ps: tuple(outs),
+                tuple(planes),
+            )
+    return tuple(
+        bitonic.sort_planes(planes, chunk_rows, num_cmp, interpret=interpret)
+    )
 
 
 def _pad_len(n: int, min_total: int = 1024) -> int:
@@ -53,10 +87,7 @@ def _sort_keys_jit(keys, cfg: SortConfig, n: int):
     if cfg.strategy == "lax":
         out = jax.lax.sort(plane.reshape(-1))
     else:
-        out = bitonic.sort_planes(
-            [plane], cfg.chunk_rows, num_cmp=1,
-            interpret=resolve_interpret(cfg),
-        )[0].reshape(-1)
+        out = _engine([plane], cfg, 1, n)[0].reshape(-1)
     return (out[:n].astype(jnp.uint32)) ^ _SIGN
 
 
@@ -75,13 +106,7 @@ def _sort_stable_jit(keys, payload, cfg: SortConfig, n: int, with_payload):
         flat = [p.reshape(-1) for p in planes]
         outs = jax.lax.sort(tuple(flat), num_keys=2)
     else:
-        outs = [
-            p.reshape(-1)
-            for p in bitonic.sort_planes(
-                planes, cfg.stable_chunk_rows, num_cmp=2,
-                interpret=resolve_interpret(cfg),
-            )
-        ]
+        outs = [p.reshape(-1) for p in _engine(planes, cfg, 2, n)]
     sorted_keys = (outs[0][:n].astype(jnp.uint32)) ^ _SIGN
     perm = outs[1][:n]
     if with_payload:
@@ -200,12 +225,7 @@ def _sort_u64_jit(hi, lo, cfg: SortConfig, n: int):
     total = _pad_len(n)
     hp = _key_plane(hi, total)
     lp = _key_plane(lo, total)
-    outs = bitonic.sort_planes(
-        [hp, lp],
-        cfg.stable_chunk_rows,
-        num_cmp=2,
-        interpret=resolve_interpret(cfg),
-    )
+    outs = _engine([hp, lp], cfg, 2, n)
     h = (outs[0].reshape(-1)[:n].astype(jnp.uint32)) ^ _SIGN
     l = (outs[1].reshape(-1)[:n].astype(jnp.uint32)) ^ _SIGN
     return h, l
@@ -231,13 +251,7 @@ def _sort_multi_jit(keys, payloads, cfg: SortConfig, n: int):
             tuple(p.reshape(-1) for p in planes), num_keys=2
         )
     else:
-        outs = [
-            p.reshape(-1)
-            for p in bitonic.sort_planes(
-                planes, cfg.stable_chunk_rows, num_cmp=2,
-                interpret=resolve_interpret(cfg),
-            )
-        ]
+        outs = [p.reshape(-1) for p in _engine(planes, cfg, 2, n)]
     sorted_keys = (outs[0][:n].astype(jnp.uint32)) ^ _SIGN
     return sorted_keys, [o[:n] for o in outs[2:]]
 
