@@ -136,6 +136,149 @@ def join_merge(build_keys, build_vals, probe_keys, probe_vals,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_matches"))
+def _join_multi_jit(
+    build_keys, build_vals, probe_keys, probe_vals, cfg, max_matches
+):
+    """Gather-free bounded multi-match join core.
+
+    Tagged union sort (as _join_merge_jit), then per-run build *ranks* via a
+    segmented prefix count, then max_matches forward-fill planes — plane j
+    carries the rank-j build value through its run.  Probe rows read all
+    planes; no searchsorted, no gather, no scatter anywhere.
+    """
+    nb, np_ = build_keys.shape[0], probe_vals.shape[0]
+    n = nb + np_
+    M = max_matches
+    keys = jnp.concatenate([build_keys, probe_keys])
+    tie = jnp.concatenate(
+        [
+            jax.lax.iota(jnp.int32, nb),
+            jax.lax.iota(jnp.int32, np_) + jnp.int32(1 << 30),
+        ]
+    )
+    bvals = jnp.concatenate([build_vals, jnp.zeros((np_,), build_vals.dtype)])
+    pvals = jnp.concatenate([jnp.zeros((nb,), probe_vals.dtype), probe_vals])
+
+    from radx_tpu.config import LANES, resolve_interpret
+    from radx_tpu.kernels import bitonic
+
+    total = 1 << (max(n, 1024) - 1).bit_length()
+
+    def plane(x, fill):
+        return (
+            jnp.full((total,), fill, jnp.int32)
+            .at[:n]
+            .set(x)
+            .reshape(total // LANES, LANES)
+        )
+
+    planes = [
+        plane((keys ^ jnp.uint32(0x80000000)).astype(jnp.int32), 0x7FFFFFFF),
+        plane(tie, 0x7FFFFFFF),
+        plane(jax.lax.bitcast_convert_type(bvals, jnp.int32), 0),
+        plane(jax.lax.bitcast_convert_type(pvals, jnp.int32), 0),
+    ]
+    outs = bitonic.sort_planes(
+        planes, cfg.stable_chunk_rows, num_cmp=2,
+        interpret=resolve_interpret(cfg),
+    )
+    skey = outs[0].reshape(-1)[:n]
+    stie = outs[1].reshape(-1)[:n]
+    sbval = outs[2].reshape(-1)[:n]
+    spval = outs[3].reshape(-1)[:n]
+    is_build = stie < (1 << 30)
+
+    # Build rank within the run (exclusive prefix count of build rows).
+    # Build rows sort before probe rows in a run (tiebreak construction),
+    # so at a probe row the exclusive count equals the run's build total.
+    cnt = is_build.astype(jnp.int32)
+    s = 1
+    while s < n:
+        pk_ = jnp.concatenate([jnp.full((s,), -1, skey.dtype), skey[:-s]])
+        pc_ = jnp.concatenate([jnp.zeros((s,), jnp.int32), cnt[:-s]])
+        cnt = jnp.where(skey == pk_, cnt + pc_, cnt)
+        s *= 2
+    rank = cnt - is_build.astype(jnp.int32)  # exclusive
+
+    # Forward-fill plane j with the rank-j build value through each run.
+    fills = [
+        jnp.where(is_build & (rank == j), sbval, jnp.zeros((), sbval.dtype))
+        for j in range(M)
+    ]
+    hass = [is_build & (rank == j) for j in range(M)]
+    s = 1
+    while s < n:
+        pk_ = jnp.concatenate([jnp.full((s,), -1, skey.dtype), skey[:-s]])
+        same = skey == pk_
+        for j in range(M):
+            pv_ = jnp.concatenate(
+                [jnp.zeros((s,), fills[j].dtype), fills[j][:-s]]
+            )
+            ph_ = jnp.concatenate([jnp.zeros((s,), jnp.bool_), hass[j][:-s]])
+            take = (~hass[j]) & ph_ & same
+            fills[j] = jnp.where(take, pv_, fills[j])
+            hass[j] = hass[j] | take
+        s *= 2
+
+    is_probe = (~is_build) & (stie != 0x7FFFFFFF)
+    valid = jnp.stack(
+        [is_probe & (j < rank) & hass[j] for j in range(M)]
+    )  # (M, n)
+    skey_u32 = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ jnp.uint32(
+        0x80000000
+    )
+    truncated = jnp.any(is_build & (rank >= M))
+    return skey_u32, jnp.stack(fills), spval, valid, truncated
+
+
+def join_merge_multi(
+    build_keys,
+    build_vals,
+    probe_keys,
+    probe_vals,
+    max_matches: int = 4,
+    cfg: SortConfig | None = None,
+):
+    """Scalable inner join with bounded duplicate build keys.
+
+    Same gather/scatter/searchsorted-free core as join_merge (tagged union
+    sort + segmented scans), extended to up to `max_matches` build matches
+    per probe row — closing the semantic gap join_merge's single-match
+    contract leaves at BASELINE config-4 scale.
+
+    Returns (keys, build_vals, probe_vals, valid, truncated):
+      keys/probe_vals: (n,) key-sorted tagged union rows (n = nb + np);
+      build_vals: (max_matches, n) — row j holds the rank-j build match;
+      valid: (max_matches, n) bool — valid[j, i] marks a real (probe i,
+        build rank j) output row;
+      truncated: True if some key has more than max_matches build rows
+        (matches beyond the bound are dropped; re-run with a larger bound).
+    """
+    cfg = cfg or SortConfig()
+    build_keys = jnp.asarray(build_keys)
+    probe_keys = jnp.asarray(probe_keys)
+    build_vals = jnp.asarray(build_vals)
+    probe_vals = jnp.asarray(probe_vals)
+    for k in (build_keys, probe_keys):
+        if k.dtype != jnp.uint32:
+            raise TypeError("join keys must be uint32")
+    if build_keys.shape[0] >= 1 << 30 or probe_keys.shape[0] >= 1 << 30:
+        raise ValueError("join supports up to 2^30-1 rows per side")
+    if max_matches < 1:
+        raise ValueError("max_matches must be >= 1")
+    k, bv, pv, valid, trunc = _join_multi_jit(
+        build_keys, build_vals, probe_keys, probe_vals, cfg, max_matches
+    )
+    return (
+        k,
+        jax.lax.bitcast_convert_type(bv, build_vals.dtype),
+        jax.lax.bitcast_convert_type(pv, probe_vals.dtype),
+        valid,
+        trunc,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_matches"))
 def _join_jit(build_keys, build_vals, probe_keys, probe_vals, cfg, max_matches):
     nb = build_keys.shape[0]
     sk, sv = sort_ops._sort_stable_jit(build_keys, build_vals, cfg, nb, True)

@@ -175,3 +175,36 @@ def test_groupby_mixed_keys_int32_min(rng):
     np.testing.assert_array_equal(np.asarray(uk)[:ng], uniq)
     want = np.array([vals[keys == u].min() for u in uniq], np.int32)
     np.testing.assert_array_equal(np.asarray(out)[:ng], want)
+
+
+def test_join_merge_multi_matches_numpy(rng):
+    """Bounded multi-match scalable join: exact multiset of output rows and
+    the truncation contract, vs a host reference."""
+    import collections
+
+    from radx_tpu.ops.join import join_merge_multi
+
+    nb, np_ = 3000, 5000
+    M = 6
+    bk = rng.integers(0, 1200, nb, dtype=np.uint32)
+    bv = rng.integers(0, 10**6, nb, dtype=np.int64).astype(np.int32)
+    pk = rng.integers(0, 1500, np_, dtype=np.uint32)
+    pv = rng.integers(0, 10**6, np_, dtype=np.int64).astype(np.int32)
+    k, bvs, pvs, valid, trunc = join_merge_multi(bk, bv, pk, pv, M, CFG)
+    k, bvs, pvs, valid = map(np.asarray, (k, bvs, pvs, valid))
+
+    by_key = collections.defaultdict(list)
+    for i in np.argsort(bk, kind="stable"):
+        by_key[int(bk[i])].append(int(bv[i]))
+    want, truncated_ref = [], False
+    for i in range(np_):
+        lst = by_key.get(int(pk[i]), [])
+        truncated_ref |= len(lst) > M
+        want.extend((int(pk[i]), v, int(pv[i])) for v in lst[:M])
+    got = [
+        (int(k[i]), int(bvs[j, i]), int(pvs[i]))
+        for j in range(M)
+        for i in np.nonzero(valid[j])[0]
+    ]
+    assert bool(trunc) == truncated_ref
+    assert sorted(got) == sorted(want)
