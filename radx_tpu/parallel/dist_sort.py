@@ -52,6 +52,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -59,8 +60,8 @@ from radx_tpu.config import SortConfig, cdiv, resolve_interpret
 from radx_tpu.kernels import bitonic
 
 LANES = 128
-_SIGN = jnp.uint32(0x80000000)
-_PAD_KEY = jnp.int32(0x7FFFFFFF)
+_SIGN = np.uint32(0x80000000)
+_PAD_KEY = np.int32(0x7FFFFFFF)
 OVERSAMPLE = 64  # samples per device per splitter; recv bound N/D + N/(64·D)
 
 
@@ -354,8 +355,6 @@ def argsort_sharded(
 
 def collect(sorted_padded, valid):
     """Host-side: concatenate valid prefixes into one sorted numpy array."""
-    import numpy as np
-
     rows = np.asarray(jax.device_get(sorted_padded))
     counts = np.asarray(jax.device_get(valid))
     return np.concatenate([rows[d, : counts[d]] for d in range(rows.shape[0])])
