@@ -23,13 +23,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from radx_tpu.config import SortConfig
     from radx_tpu.kernels import bitonic
-    from radx_tpu.config import resolve_interpret
+    from radx_tpu.config import resolve_interpret, tuned
 
     n = 1 << 23
     iters = 8
-    cfg = SortConfig()
+    cfg = tuned()  # per-generation tuning table (config.TUNING)
     interpret = resolve_interpret(cfg)
     if interpret:
         # CPU interpreter mode cannot run 8M keys in reasonable time.

@@ -24,6 +24,13 @@ def _enable_compile_cache():
     vk::PipelineCache (radx_implement.inl:269-273), which it creates but
     never serializes.  Ours persists across processes: remote Mosaic
     compiles of the unrolled sort networks cost minutes, once."""
+    # CPU-only runs (CI interpret mode; conftest sets JAX_PLATFORMS=cpu)
+    # must NOT use the persistent cache: interpret-mode executables
+    # serialize to multi-GB blobs whose compression pass segfaults the
+    # process (observed on test_relational's join_merge_multi).  This JAX
+    # version has no max-entry-size knob, so gate on the platform instead.
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     try:
         import jax
 

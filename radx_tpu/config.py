@@ -101,6 +101,61 @@ def _has_tpu() -> bool:
         return False
 
 
+# --- per-generation tuning -------------------------------------------------
+#
+# The analogue of the reference's vendor dispatch table
+# (radx_shaders.hpp:87-111: vendorID → shader variant) + per-vendor subgroup
+# size (radx_device.hpp:53-60: turing/vega10 → 16, nvidia/rdna → 32).  Keys
+# are `jax.devices()[0].device_kind` prefixes (longest prefix wins); values
+# override SortConfig fields.  Entries are produced by `tools/autotune.py`
+# sweeps on real hardware; generations we have not measured inherit the v5e
+# optimum (same VPU/VMEM architecture scaled) rather than failing.
+TUNING: dict[str, dict] = {
+    # measured on v5e (tools/autotune.py, 2026-08-18): 2048-row chunks max
+    # out the VMEM working set for the keys-only network; 256 keeps the
+    # multi-plane (stable/pairs) network's Mosaic compile time bounded
+    # (NOTES.md: compile superlinear in substages × planes).
+    "TPU v5 lite": {"chunk_rows": 2048, "stable_chunk_rows": 256},
+    "TPU v5p": {"chunk_rows": 2048, "stable_chunk_rows": 256},
+    "TPU v5": {"chunk_rows": 2048, "stable_chunk_rows": 256},
+    "TPU v6 lite": {"chunk_rows": 2048, "stable_chunk_rows": 256},
+    "TPU v6": {"chunk_rows": 2048, "stable_chunk_rows": 256},
+    "TPU v4": {"chunk_rows": 1024, "stable_chunk_rows": 256},
+    # interpret-mode CI (CPU): tiny chunks keep interpreter wall time sane
+    "cpu": {"chunk_rows": 64, "stable_chunk_rows": 64},
+}
+
+
+@functools.cache
+def device_kind() -> str:
+    """Current accelerator generation string (e.g. 'TPU v5 lite'), or the
+    platform name when not on TPU."""
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        return d.device_kind if d.platform == "tpu" else d.platform
+    except Exception:  # pragma: no cover - no backend at all
+        return "cpu"
+
+
+def tuned(**overrides) -> SortConfig:
+    """SortConfig specialized for the current accelerator generation.
+
+    Longest-prefix match of `device_kind()` against TUNING, then explicit
+    overrides.  Unknown generations fall back to SortConfig defaults — the
+    same graceful degradation as the reference's 'universal' shader variant.
+    """
+    kind = device_kind()
+    params: dict = {}
+    for prefix in sorted(TUNING, key=len, reverse=True):
+        if kind.startswith(prefix):
+            params.update(TUNING[prefix])
+            break
+    params.update(overrides)
+    return SortConfig(**params)
+
+
 def resolve_interpret(cfg: SortConfig) -> bool:
     """Interpreter mode: explicit flag wins, else interpret iff not on TPU."""
     if cfg.interpret is not None:

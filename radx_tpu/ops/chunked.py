@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from radx_tpu.config import SortConfig
+from radx_tpu.config import SortConfig, tuned
 from radx_tpu.ops.filter import filter_columns
 from radx_tpu.ops.groupby import groupby
 
@@ -38,7 +38,7 @@ def filter_chunked(mask, cols, cfg: SortConfig | None = None, slab: int = _SLAB)
     one at a time).  Returns (cols_out, count) with cols_out host numpy
     arrays of length count — exact, no padding.
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     mask = np.asarray(mask)
     n = mask.shape[0]
     outs = [[] for _ in cols]
@@ -69,7 +69,7 @@ def groupby_chunked(
     (recursively chunked when the partials themselves exceed one slab, e.g.
     all-unique keys) — `count` partials merge via `sum`.
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     keys = np.asarray(keys)
     values = np.asarray(values)
     n = keys.shape[0]

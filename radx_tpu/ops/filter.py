@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from radx_tpu.config import LANES, SortConfig, resolve_interpret
+from radx_tpu.config import LANES, SortConfig, resolve_interpret, tuned
 from radx_tpu.kernels import bitonic
 
 
@@ -63,7 +63,7 @@ def filter_columns(mask, cols, cfg: SortConfig | None = None):
     Returns (cols_out, count): each column reordered so rows where mask!=0
     occupy the first `count` slots in original order; the tail is garbage.
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     mask = jnp.asarray(mask)
     cols = [jnp.asarray(c) for c in cols]
     n = mask.shape[0]

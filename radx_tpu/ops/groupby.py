@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from radx_tpu.config import SortConfig
+from radx_tpu.config import SortConfig, tuned
 from radx_tpu.ops import sort as sort_ops
 
 
@@ -83,7 +83,7 @@ def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):
     uint32 sums wrap at 2^32 (like C unsigned arithmetic); float32 sums
     accumulate in f32 with run-doubling order (deterministic).
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
     if keys.dtype != jnp.uint32:

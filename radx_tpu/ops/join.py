@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from radx_tpu.config import SortConfig
+from radx_tpu.config import SortConfig, tuned
 from radx_tpu.ops import sort as sort_ops
 
 
@@ -109,7 +109,7 @@ def join_merge(build_keys, build_vals, probe_keys, probe_vals,
     Returns (keys, build_vals, probe_vals, count): compacted matched rows
     (first `count` entries; order is key-sorted, not probe order).
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     build_keys = jnp.asarray(build_keys)
     probe_keys = jnp.asarray(probe_keys)
     build_vals = jnp.asarray(build_vals)
@@ -254,7 +254,7 @@ def join_merge_multi(
       truncated: True if some key has more than max_matches build rows
         (matches beyond the bound are dropped; re-run with a larger bound).
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     build_keys = jnp.asarray(build_keys)
     probe_keys = jnp.asarray(probe_keys)
     build_vals = jnp.asarray(build_vals)
@@ -314,7 +314,7 @@ def join_inner(
     matches; `truncated` is True if any probe key had more than max_matches
     build matches (re-run with a larger max_matches).
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     build_keys = jnp.asarray(build_keys)
     probe_keys = jnp.asarray(probe_keys)
     build_vals = jnp.asarray(build_vals)

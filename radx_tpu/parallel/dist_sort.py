@@ -56,7 +56,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from radx_tpu.config import SortConfig, cdiv, resolve_interpret
+from radx_tpu.config import SortConfig, cdiv, resolve_interpret, tuned
 from radx_tpu.kernels import bitonic
 
 LANES = 128
@@ -235,7 +235,7 @@ def _shard_body(keys, payloads, n_dev, slot, cfg, axis, stable, overlap):
 
 
 def _run_sharded(keys, payloads, mesh, axis, capacity, cfg, stable, overlap):
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     if keys.dtype != jnp.uint32:
         # int32 keys would silently bias/compare wrong — reject like
         # ops.sort.
