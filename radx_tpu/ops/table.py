@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from radx_tpu.config import SortConfig
+from radx_tpu.config import SortConfig, tuned
 from radx_tpu.ops import filter as filter_ops
 from radx_tpu.ops import groupby as groupby_ops
 from radx_tpu.ops import join as join_ops
@@ -52,12 +52,21 @@ class Table:
     def to_numpy(self) -> dict[str, np.ndarray]:
         return {k: np.asarray(jax.device_get(v)) for k, v in self.columns.items()}
 
+    def lazy(self, cfg: SortConfig | None = None):
+        """Switch to the no-host-sync pipeline API (ops/lazy.LazyTable):
+        operators thread a traced row count instead of slicing via
+        ``int(count)``, so filter→groupby→join→sort fuses under one jit;
+        ``collect()`` is the single sync at the end."""
+        from radx_tpu.ops.lazy import LazyTable
+
+        return LazyTable.from_table(self, cfg)
+
     # -- operators ---------------------------------------------------------
 
     def sort_by(self, key: str, descending: bool = False,
                 cfg: SortConfig | None = None) -> "Table":
         """Stable sort of all columns by one uint32/int32/float32 column."""
-        cfg = cfg or SortConfig()
+        cfg = cfg or tuned()
         keys = self.columns[key]
         enc = sort_ops._encode_keys(keys)
         if descending:
@@ -72,7 +81,7 @@ class Table:
 
     def filter(self, mask, cfg: SortConfig | None = None) -> "Table":
         """Keep rows where mask != 0 (stable)."""
-        cfg = cfg or SortConfig()
+        cfg = cfg or tuned()
         names = list(self.columns)
         cols, count = filter_ops.filter_columns(
             mask, [self.columns[n] for n in names], cfg
@@ -83,7 +92,7 @@ class Table:
     def groupby(self, key: str, value: str, agg: str = "sum",
                 cfg: SortConfig | None = None) -> "Table":
         """GROUP BY key aggregating value; returns Table(key, agg)."""
-        cfg = cfg or SortConfig()
+        cfg = cfg or tuned()
         uk, out, ng = groupby_ops.groupby(
             self.columns[key], self.columns[value], agg, cfg
         )
@@ -98,7 +107,7 @@ class Table:
         merge join (duplicate build keys resolve to the last build row);
         larger values use the searchsorted expansion path.
         """
-        cfg = cfg or SortConfig()
+        cfg = cfg or tuned()
         names = [on, value, other_value]
         if max_matches == 1:
             k, bv, pv, count = join_ops.join_merge(
