@@ -349,6 +349,86 @@ def merge_sorted_runs(
     )
 
 
+def merge_bitonic_ascending(planes, chunk_rows, num_cmp, interpret=False):
+    """Ascending bitonic merge of ONE bitonic sequence of pow2 length: the
+    top merge level of the pipeline with every direction forced ascending
+    (single merge group ⇒ every up-bit reads as 1).  O(N·log(N/C)) cross
+    passes + one finish pass — not a full sort."""
+    rows = planes[0].shape[0]
+    log_n = _log2(rows * LANES)
+    return _sort_pipeline(
+        planes, chunk_rows, num_cmp, interpret,
+        presorted=True, presorted_log=log_n - 1,
+    )
+
+
+def _cx_ascending(lo, hi, num_cmp):
+    """Elementwise ascending compare-exchange between two plane lists."""
+    if num_cmp == 1:
+        swap = hi[0] < lo[0]
+    else:
+        swap = (hi[0] < lo[0]) | ((hi[0] == lo[0]) & (hi[1] < lo[1]))
+    new_lo = [jnp.where(swap, b, a) for a, b in zip(lo, hi)]
+    new_hi = [jnp.where(swap, a, b) for a, b in zip(lo, hi)]
+    return new_lo, new_hi
+
+
+def merge_valley_ascending(planes, chunk_rows, num_cmp, interpret=False):
+    """Sort a bitonic sequence of ARBITRARY chunk-multiple length ascending —
+    the arbitrary-N primitive (the reference handles any N via validity
+    ballots, RadX2-SM7-DEV/includes.glsl:171-182 + counting.comp:50-66; we
+    handle it via virtual network wires).
+
+    The input (typically a "valley": descending run ++ ascending run) is
+    merged on a virtual 2^ceil(log2 L)-wire ascending bitonic network whose
+    tail wires hold +inf.  In an ASCENDING merge, a compare-exchange whose
+    high wire is virtual is a no-op (the min lands on the physical low
+    wire), so the tail is never materialized.  Per level:
+
+      1. the top half-cleaner touches only the physical overhang
+         (L - V/2 elements) — one contiguous elementwise compare-exchange;
+      2. the low V/2 wires are now fully physical and bitonic → complete
+         pow2 ascending merge (merge_bitonic_ascending, existing kernels);
+      3. every low element <= every high element (half-cleaner lemma), and
+         the high remainder is itself bitonic → iterate on it with a
+         re-tightened virtual size.
+
+    Work: Σ over halving levels = O(L·log(L/C)) — same order as one pow2
+    merge of size L, with zero physical padding.  Returns sorted planes of
+    the SAME (unpadded) length.
+    """
+    rows = planes[0].shape[0]
+    c_rows = min(chunk_rows, rows)
+    assert rows % c_rows == 0, (rows, c_rows)
+    segments: list[list] = []  # ascending sorted prefixes, in order
+    cur = list(planes)
+    while True:
+        r = cur[0].shape[0]
+        v_rows = 1 << (r - 1).bit_length()  # tight virtual size (rows)
+        if r == v_rows:
+            segments.append(
+                merge_bitonic_ascending(cur, c_rows, num_cmp, interpret)
+            )
+            break
+        half = v_rows // 2  # > 0, < r by tightness; multiple of c_rows
+        npair = r - half
+        lo, hi = _cx_ascending(
+            [p[:npair] for p in cur], [p[half:] for p in cur], num_cmp
+        )
+        low = [
+            jnp.concatenate([a, p[npair:half]], axis=0)
+            for a, p in zip(lo, cur)
+        ]
+        segments.append(
+            merge_bitonic_ascending(low, c_rows, num_cmp, interpret)
+        )
+        cur = hi
+    return [
+        jnp.concatenate([seg[i] for seg in segments], axis=0)
+        for i in range(len(planes))
+    ]
+
+
 def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
     """Sort i32 planes (each shape (rows, 128)) ascending by planes[0]
     (then planes[1] if num_cmp == 2) in flat row-major order.
@@ -465,7 +545,13 @@ def _sort_pipeline(
     log_c, log_n = _log2(c), _log2(total)
     if presorted_log is None:
         presorted_log = log_c
-    assert presorted_log >= log_c, (presorted_log, log_c)
+    # presorted_log == log_c - 1 means "chunks are merely bitonic, run the
+    # intra-chunk merge" — only meaningful for a single chunk (the
+    # merge_bitonic_ascending base case); multi-chunk callers must have
+    # sorted chunks.
+    assert presorted_log >= log_c or (
+        presorted_log == log_c - 1 and total == c
+    ), (presorted_log, log_c, total, c)
     assert not invert or presorted, "invert only applies to merges"
     n_chunks = total // c
     # indices include the scalar-prefetch operand, hence the +1 shift

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from radx_tpu.config import LANES, SortConfig, resolve_interpret
+from radx_tpu.config import LANES, SortConfig, resolve_interpret, tuned
 from radx_tpu.kernels import bitonic, msd
 
 _SIGN = np.uint32(0x80000000)
@@ -123,23 +123,145 @@ def _as_u32(keys):
     return keys
 
 
+def _decompose_blocks(n: int, block_elems: int):
+    """Binary piece decomposition for arbitrary N: blocks = ceil(n/C)
+    rounded up to at most 5 significant bits (pad overhead <= 1/16 + C/n),
+    so the piece count is <= 5.  Returns (blocks, piece block counts,
+    largest first)."""
+    blocks = -(-n // block_elems)
+    t = blocks.bit_length()
+    if t > 5:
+        g = 1 << (t - 5)
+        blocks = -(-blocks // g) * g
+        t = blocks.bit_length()
+    sizes = [1 << b for b in range(t) if (blocks >> b) & 1]
+    return blocks, sizes[::-1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _sort_arbn_keys_jit(keys, cfg: SortConfig, n: int):
+    """Arbitrary-N sort without pow2 padding blowup (VERDICT r1 item 7; the
+    reference handles any N via validity ballots,
+    RadX2-SM7-DEV/includes.glsl:171-182).  Pieces of pow2 size (binary
+    decomposition of ceil(n/C), <= 5 pieces) are engine-sorted — all but
+    the last descending via the order-reversing i32 bit-not — then folded
+    smallest-first through valley merges on virtual-tail bitonic networks
+    (kernels/bitonic.merge_valley_ascending).  Total pad <= 1/32·n + C."""
+    c_rows = cfg.chunk_rows
+    blocks, sizes = _decompose_blocks(n, c_rows * LANES)
+    total = blocks * c_rows * LANES
+    plane = _key_plane(keys, total)
+    interpret = resolve_interpret(cfg)
+    row_off = 0
+    pieces = []
+    for idx, sz in enumerate(sizes):
+        rows_p = sz * c_rows
+        sl = jax.lax.slice_in_dim(plane, row_off, row_off + rows_p, axis=0)
+        if idx == len(sizes) - 1:
+            pieces.append(_engine([sl], cfg, 1, rows_p * LANES)[0])
+        else:
+            # descending = ascending sort of ~x, un-inverted (bit-not is
+            # strictly order-reversing on i32); sentinel pads, if any spill
+            # into this piece, are just large values — the valley merges
+            # push them to the global tail.
+            pieces.append(~(_engine([~sl], cfg, 1, rows_p * LANES)[0]))
+        row_off += rows_p
+    acc = pieces[-1]
+    for pd in reversed(pieces[:-1]):
+        valley = jnp.concatenate([pd, acc], axis=0)
+        acc = bitonic.merge_valley_ascending(
+            [valley], c_rows, 1, interpret=interpret
+        )[0]
+    out = acc.reshape(-1)
+    return (out[:n].astype(jnp.uint32)) ^ _SIGN
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n", "with_payload"))
+def _sort_arbn_stable_jit(keys, payload, cfg: SortConfig, n: int,
+                         with_payload: bool):
+    """Arbitrary-N stable sort (argsort / pairs): the piece + valley-merge
+    scheme of _sort_arbn_keys_jit with the (key, iota) lexicographic planes.
+    Descending pieces invert BOTH compare planes (bit-not reverses the
+    lexicographic order); the payload plane rides along uninverted.
+    Stability: the (key, original index) comparator is a total order, so
+    the merged result is the unique stable permutation no matter how the
+    input was cut into pieces."""
+    c_rows = cfg.stable_chunk_rows
+    blocks, sizes = _decompose_blocks(n, c_rows * LANES)
+    total = blocks * c_rows * LANES
+    planes = [_key_plane(keys, total), _iota_plane(total)]
+    if with_payload:
+        planes.append(
+            jax.lax.bitcast_convert_type(
+                jnp.zeros((total,), payload.dtype).at[:n].set(payload),
+                jnp.int32,
+            ).reshape(total // LANES, LANES)
+        )
+    interpret = resolve_interpret(cfg)
+    row_off = 0
+    pieces = []
+    for idx, sz in enumerate(sizes):
+        rows_p = sz * c_rows
+        sls = [
+            jax.lax.slice_in_dim(p, row_off, row_off + rows_p, axis=0)
+            for p in planes
+        ]
+        if idx == len(sizes) - 1:
+            pieces.append(list(_engine(sls, cfg, 2, rows_p * LANES)))
+        else:
+            inv = [~sls[0], ~sls[1]] + sls[2:]
+            outs = list(_engine(inv, cfg, 2, rows_p * LANES))
+            pieces.append([~outs[0], ~outs[1]] + outs[2:])
+        row_off += rows_p
+    acc = pieces[-1]
+    for pd in reversed(pieces[:-1]):
+        valley = [
+            jnp.concatenate([a, b], axis=0) for a, b in zip(pd, acc)
+        ]
+        acc = bitonic.merge_valley_ascending(
+            valley, c_rows, 2, interpret=interpret
+        )
+    outs = [p.reshape(-1) for p in acc]
+    sorted_keys = (outs[0][:n].astype(jnp.uint32)) ^ _SIGN
+    if with_payload:
+        return sorted_keys, outs[2][:n]
+    return sorted_keys, outs[1][:n]
+
+
+def _use_decomposition(n: int, cfg: SortConfig) -> bool:
+    """Route to the piece-merge path when pow2 padding would waste >10%
+    and the size is large enough for the extra kernel shapes to pay off."""
+    if cfg.strategy == "lax" or n < (1 << 22):
+        return False
+    total_pow2 = _pad_len(n)
+    return total_pow2 * 10 > n * 11
+
+
 def sort(keys, cfg: SortConfig | None = None):
-    """Ascending sort of uint32 keys. Returns a uint32 array of same shape."""
-    cfg = cfg or SortConfig()
+    """Ascending sort of uint32 keys. Returns a uint32 array of same shape.
+
+    Any N is supported: pow2-adjacent sizes pad to the next pow2; sizes
+    where that would waste >10% route through the binary-decomposition +
+    valley-merge path (pad bounded at ~3%)."""
+    cfg = cfg or tuned()
     keys = _as_u32(keys)
     n = keys.shape[0]
     if n <= 1:
         return keys
+    if _use_decomposition(n, cfg):
+        return _sort_arbn_keys_jit(keys, cfg, n)
     return _sort_keys_jit(keys, cfg, n)
 
 
 def argsort(keys, cfg: SortConfig | None = None):
     """Stable argsort: int32 permutation, ties keep original order."""
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     keys = _as_u32(keys)
     n = keys.shape[0]
     if n <= 1:
         return jnp.zeros((n,), jnp.int32)
+    if _use_decomposition(n, cfg):
+        return _sort_arbn_stable_jit(keys, None, cfg, n, False)[1]
     return _sort_stable_jit(keys, None, cfg, n, False)[1]
 
 
@@ -181,7 +303,7 @@ def sort_any(keys, descending: bool = False, cfg: SortConfig | None = None):
     the reference supports uint32 only (SURVEY §2); wider dtype coverage is
     part of the query-executor surface.
     """
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     keys = jnp.asarray(keys)
     enc = _encode_keys(keys)
     if descending:
@@ -194,7 +316,7 @@ def sort_any(keys, descending: bool = False, cfg: SortConfig | None = None):
 
 def sort_pairs_any(keys, payload, descending=False, cfg=None):
     """Stable key+payload sort for uint32 / int32 / float32 keys."""
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     keys = jnp.asarray(keys)
     enc = _encode_keys(keys)
     if descending:
@@ -209,7 +331,7 @@ def sort_u64(hi, lo, cfg: SortConfig | None = None):
     """Sort 64-bit keys given as (hi, lo) uint32 halves — lexicographic
     two-plane compare (num_cmp=2), a capability with no reference analogue.
     Returns sorted (hi, lo)."""
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     hi = _as_u32(jnp.asarray(hi))
     lo = _as_u32(jnp.asarray(lo))
     if hi.shape != lo.shape:
@@ -259,7 +381,7 @@ def _sort_multi_jit(keys, payloads, cfg: SortConfig, n: int):
 def sort_multi(keys, payloads, cfg: SortConfig | None = None):
     """Stable sort of uint32 keys carrying any number of 32-bit payload
     columns through the pipeline.  Returns (sorted_keys, payloads_out)."""
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     keys = _as_u32(keys)
     payloads = [jnp.asarray(p) for p in payloads]
     for p in payloads:
@@ -281,7 +403,7 @@ def sort_pairs(keys, payload, cfg: SortConfig | None = None):
     """Stable key+payload sort — the capability RadX stubs but never ships
     (indiction/permutation dispatches absent from Radix::command,
     radx_implement.inl:421-447)."""
-    cfg = cfg or SortConfig()
+    cfg = cfg or tuned()
     keys = _as_u32(keys)
     payload = jnp.asarray(payload)
     if payload.shape != keys.shape:
@@ -291,5 +413,8 @@ def sort_pairs(keys, payload, cfg: SortConfig | None = None):
     n = keys.shape[0]
     if n <= 1:
         return keys, payload
-    k, p = _sort_stable_jit(keys, payload, cfg, n, True)
+    if _use_decomposition(n, cfg):
+        k, p = _sort_arbn_stable_jit(keys, payload, cfg, n, True)
+    else:
+        k, p = _sort_stable_jit(keys, payload, cfg, n, True)
     return k, jax.lax.bitcast_convert_type(p, payload.dtype)
