@@ -46,7 +46,7 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
-from radx_tpu.config import SortConfig, DEFAULT  # noqa: F401,E402
+from radx_tpu.config import SortConfig, DEFAULT, tuned  # noqa: F401,E402
 from radx_tpu.ops.sort import (  # noqa: F401,E402
     argsort,
     sort,
@@ -55,5 +55,7 @@ from radx_tpu.ops.sort import (  # noqa: F401,E402
     sort_pairs_any,
     sort_u64,
 )
+from radx_tpu.ops.table import Table  # noqa: F401,E402
+from radx_tpu.ops.lazy import LazyTable  # noqa: F401,E402
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -111,15 +111,17 @@ def _has_tpu() -> bool:
 # sweeps on real hardware; generations we have not measured inherit the v5e
 # optimum (same VPU/VMEM architecture scaled) rather than failing.
 TUNING: dict[str, dict] = {
-    # measured on v5e (tools/autotune.py, 2026-08-18): 2048-row chunks max
-    # out the VMEM working set for the keys-only network; 256 keeps the
-    # multi-plane (stable/pairs) network's Mosaic compile time bounded
-    # (NOTES.md: compile superlinear in substages × planes).
-    "TPU v5 lite": {"chunk_rows": 2048, "stable_chunk_rows": 256},
-    "TPU v5p": {"chunk_rows": 2048, "stable_chunk_rows": 256},
-    "TPU v5": {"chunk_rows": 2048, "stable_chunk_rows": 256},
-    "TPU v6 lite": {"chunk_rows": 2048, "stable_chunk_rows": 256},
-    "TPU v6": {"chunk_rows": 2048, "stable_chunk_rows": 256},
+    # measured on v5e (idle-chip k=17 chained sweep, 2026-08-18, NOTES.md):
+    # 1024-row chunks beat 2048 at every size 2^22-2^27 for the keys-only
+    # network (1.74/1.60/1.40/1.21/1.10 G keys/s at 2^22/23/24/26/27); 256
+    # keeps the multi-plane (stable/pairs) network's Mosaic compile time
+    # bounded (compile superlinear in substages × planes) and measured
+    # fastest (0.68 G pairs/s at 2^22 vs 0.58 @128 / 0.61 @512).
+    "TPU v5 lite": {"chunk_rows": 1024, "stable_chunk_rows": 256},
+    "TPU v5p": {"chunk_rows": 1024, "stable_chunk_rows": 256},
+    "TPU v5": {"chunk_rows": 1024, "stable_chunk_rows": 256},
+    "TPU v6 lite": {"chunk_rows": 1024, "stable_chunk_rows": 256},
+    "TPU v6": {"chunk_rows": 1024, "stable_chunk_rows": 256},
     "TPU v4": {"chunk_rows": 1024, "stable_chunk_rows": 256},
     # interpret-mode CI (CPU): tiny chunks keep interpreter wall time sane
     "cpu": {"chunk_rows": 64, "stable_chunk_rows": 64},

