@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from radx_tpu.config import SortConfig, tuned
+from radx_tpu.kernels import segscan
 from radx_tpu.ops import sort as sort_ops
 
 
@@ -74,21 +75,13 @@ def _join_merge_jit(build_keys, build_vals, probe_keys, probe_vals, cfg):
     is_build = stie < (1 << 30)
 
     # Segmented forward-fill: carry the last build value through each
-    # equal-key run (runs are contiguous after the sort).  Hillis-Steele
-    # doubling instead of lax.associative_scan — the scan's recursive
-    # lowering OOMs the Mosaic/XLA compiler at 2^27 operands.  Because keys
-    # are sorted, key[i] == key[i-s] implies everything in between is the
-    # same run, so a plain shifted compare is segment-safe.
-    filled, has = sbval, is_build
-    s = 1
-    while s < n:
-        pk_ = jnp.concatenate([jnp.full((s,), -1, skey.dtype), skey[:-s]])
-        pv_ = jnp.concatenate([jnp.zeros((s,), filled.dtype), filled[:-s]])
-        ph_ = jnp.concatenate([jnp.zeros((s,), jnp.bool_), has[:-s]])
-        take = (~has) & ph_ & (skey == pk_)
-        filled = jnp.where(take, pv_, filled)
-        has = has | take
-        s *= 2
+    # equal-key run (runs are contiguous after the sort) — ONE Pallas HBM
+    # pass (kernels/segscan.py op="fill"); the r1 Hillis-Steele doubling
+    # burned log2(n) full-array passes + concatenate temporaries.
+    filled, has = segscan.segscan_flat(
+        skey, sbval, "fill", cfg.stable_chunk_rows,
+        resolve_interpret(cfg), has=is_build,
+    )
     keep = (has & ~is_build).astype(jnp.int32)
     skey_u32 = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ jnp.uint32(
         0x80000000
@@ -188,37 +181,29 @@ def _join_multi_jit(
     spval = outs[3].reshape(-1)[:n]
     is_build = stie < (1 << 30)
 
-    # Build rank within the run (exclusive prefix count of build rows).
-    # Build rows sort before probe rows in a run (tiebreak construction),
-    # so at a probe row the exclusive count equals the run's build total.
-    cnt = is_build.astype(jnp.int32)
-    s = 1
-    while s < n:
-        pk_ = jnp.concatenate([jnp.full((s,), -1, skey.dtype), skey[:-s]])
-        pc_ = jnp.concatenate([jnp.zeros((s,), jnp.int32), cnt[:-s]])
-        cnt = jnp.where(skey == pk_, cnt + pc_, cnt)
-        s *= 2
+    # Build rank within the run (inclusive segmented count of build rows,
+    # one Pallas pass).  Build rows sort before probe rows in a run
+    # (tiebreak construction), so at a probe row the exclusive count
+    # equals the run's build total.
+    interp = resolve_interpret(cfg)
+    cnt = segscan.segscan_flat(
+        skey, is_build.astype(jnp.int32), "sum",
+        cfg.stable_chunk_rows, interp,
+    )
     rank = cnt - is_build.astype(jnp.int32)  # exclusive
 
-    # Forward-fill plane j with the rank-j build value through each run.
-    fills = [
-        jnp.where(is_build & (rank == j), sbval, jnp.zeros((), sbval.dtype))
-        for j in range(M)
-    ]
-    hass = [is_build & (rank == j) for j in range(M)]
-    s = 1
-    while s < n:
-        pk_ = jnp.concatenate([jnp.full((s,), -1, skey.dtype), skey[:-s]])
-        same = skey == pk_
-        for j in range(M):
-            pv_ = jnp.concatenate(
-                [jnp.zeros((s,), fills[j].dtype), fills[j][:-s]]
-            )
-            ph_ = jnp.concatenate([jnp.zeros((s,), jnp.bool_), hass[j][:-s]])
-            take = (~hass[j]) & ph_ & same
-            fills[j] = jnp.where(take, pv_, fills[j])
-            hass[j] = hass[j] | take
-        s *= 2
+    # Forward-fill plane j with the rank-j build value through each run —
+    # one segscan fill pass per rank (M passes total vs the r1 doubling's
+    # log2(n) passes over all M planes at once).
+    fills, hass = [], []
+    for j in range(M):
+        hj = is_build & (rank == j)
+        fj = jnp.where(hj, sbval, jnp.zeros((), sbval.dtype))
+        fo, ho = segscan.segscan_flat(
+            skey, fj, "fill", cfg.stable_chunk_rows, interp, has=hj
+        )
+        fills.append(fo)
+        hass.append(ho)
 
     is_probe = (~is_build) & (stie != 0x7FFFFFFF)
     valid = jnp.stack(

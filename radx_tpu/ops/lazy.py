@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from radx_tpu.config import LANES, SortConfig, resolve_interpret, tuned
-from radx_tpu.kernels import bitonic
+from radx_tpu.kernels import bitonic, segscan
 from radx_tpu.ops import sort as sort_ops
 from radx_tpu.ops.filter import _compact_jit
 
@@ -97,29 +97,20 @@ def groupby_lazy(keys, values, count, agg: str, cfg: SortConfig, n: int):
     skeys = jax.lax.bitcast_convert_type(skb, jnp.uint32) ^ _SIGN
 
     if agg == "count":
-        acc = jnp.ones((n,), jnp.int32)
-        combine = lambda a, b: a + b
-    elif agg == "sum":
-        acc, combine = svals, (lambda a, b: a + b)
-    elif agg == "min":
-        acc, combine = svals, jnp.minimum
-    elif agg == "max":
-        acc, combine = svals, jnp.maximum
+        acc, op = jnp.ones((n,), jnp.int32), "sum"
+    elif agg in ("sum", "min", "max"):
+        acc, op = svals, agg
     else:  # pragma: no cover - validated by caller
         raise ValueError(agg)
 
-    pos = jax.lax.iota(jnp.int32, n)
-    fill = jnp.zeros((), acc.dtype)
-    s = 1
-    while s < n:
-        pk = jnp.concatenate([jnp.zeros((s,), skeys.dtype), skeys[:-s]])
-        pa = jnp.concatenate([jnp.full((s,), fill), acc[:-s]])
-        # same-key ⇒ same run (sorted); invalid rows sit at pos >= count and
-        # only ever *read* from valid rows, never feed them
-        take = (pos >= s) & (skeys == pk)
-        acc = jnp.where(take, combine(acc, pa), acc)
-        s *= 2
+    # one-pass Pallas segmented scan (kernels/segscan.py); invalid rows sit
+    # at pos >= count (sorted after every valid row) and only ever *read*
+    # from valid rows, never feed them
+    acc = segscan.segscan_flat(
+        skeys, acc, op, cfg.stable_chunk_rows, resolve_interpret(cfg)
+    )
 
+    pos = jax.lax.iota(jnp.int32, n)
     nxt = jnp.concatenate([skeys[1:], skeys[:1]])
     is_last = ((skeys != nxt) | (pos == count - 1)) & (pos < count)
     num_groups = jnp.sum(is_last.astype(jnp.int32))
@@ -174,16 +165,10 @@ def join_lazy(build_keys, build_vals, bcount, probe_keys, probe_vals,
     spval = outs[3].reshape(-1)[:n]
     is_build = stie < bcount  # bcount <= nb < 2^30: invalid builds excluded
 
-    filled, has = sbval, is_build
-    s = 1
-    while s < n:
-        pk_ = jnp.concatenate([jnp.full((s,), -1, skey.dtype), skey[:-s]])
-        pv_ = jnp.concatenate([jnp.zeros((s,), filled.dtype), filled[:-s]])
-        ph_ = jnp.concatenate([jnp.zeros((s,), jnp.bool_), has[:-s]])
-        take = (~has) & ph_ & (skey == pk_)
-        filled = jnp.where(take, pv_, filled)
-        has = has | take
-        s *= 2
+    filled, has = segscan.segscan_flat(
+        skey, sbval, "fill", cfg.stable_chunk_rows,
+        resolve_interpret(cfg), has=is_build,
+    )
     is_real_probe = (stie >= (1 << 30)) & ((stie - (1 << 30)) < pcount)
     keep = (has & is_real_probe).astype(jnp.int32)
     skey_u32 = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ _SIGN

@@ -12,6 +12,18 @@ from radx_tpu.ops.join import join_inner
 CFG = SortConfig(chunk_rows=8)
 
 
+@pytest.fixture(autouse=True)
+def _clear_per_test():
+    """This module compiles the largest interpret-mode executables in the
+    suite; keeping them all live in one process has crashed the XLA CPU
+    compiler late in the run (segfault in backend_compile_and_load after
+    ~16 tests).  Clear per-test, not just per-module (conftest)."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def test_filter_stable(rng):
     n = 10000
     vals = rng.integers(0, 2**32, n, dtype=np.uint32)
