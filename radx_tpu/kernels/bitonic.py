@@ -155,12 +155,13 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
     return out
 
 
-def _chunk_network(planes, gflat, flat, log_c, num_cmp, gather):
+def _chunk_network(planes, gflat, flat, log_c, num_cmp, gather, invert=0):
     """The full intra-chunk bitonic network (stages 1..log_c) on VMEM-resident
-    planes.  Fully static: every roll distance is a compile-time constant."""
+    planes.  Fully static: every roll distance is a compile-time constant.
+    invert=1 flips every direction bit: a descending sort at identical cost."""
     planes = list(planes)
     for kk in range(1, log_c + 1):
-        up_i = 1 - ((gflat >> kk) & 1)
+        up_i = (1 - ((gflat >> kk) & 1)) ^ invert
         for dj in range(kk - 1, -1, -1):
             # Distances >= 128 need sublane rolls only; < 128 lane rolls only.
             planes = _substage(
@@ -170,17 +171,20 @@ def _chunk_network(planes, gflat, flat, log_c, num_cmp, gather):
     return planes
 
 
-def _chunk_sort_kernel(num_cmp, log_c, gather, ascending, _scalar_ref, *refs):
+def _chunk_sort_kernel(num_cmp, log_c, gather, ascending, invert,
+                       _scalar_ref, *refs):
     n = len(refs) // 2
     in_refs, out_refs = refs[:n], refs[n:]
     rows = in_refs[0].shape[1]
     flat = _flat_iota(rows)
     # Alternating directions come from the chunk-parity bit of the global
     # flat index; `ascending` drops it so every chunk sorts ascending
-    # independently (the MSD engine's phase-1/phase-C contract).
+    # independently (the MSD engine's phase-1/phase-C contract).  `invert`
+    # flips every direction (native descending sort, zero extra cost).
     gflat = flat if ascending else flat + pl.program_id(0) * (rows * LANES)
     planes = _chunk_network(
-        [r[0] for r in in_refs], gflat, flat, log_c, num_cmp, gather
+        [r[0] for r in in_refs], gflat, flat, log_c, num_cmp, gather,
+        invert,
     )
     for o, x in zip(out_refs, planes):
         o[0] = x
@@ -349,49 +353,60 @@ def merge_sorted_runs(
     )
 
 
-def merge_bitonic_ascending(planes, chunk_rows, num_cmp, interpret=False):
-    """Ascending bitonic merge of ONE bitonic sequence of pow2 length: the
-    top merge level of the pipeline with every direction forced ascending
-    (single merge group ⇒ every up-bit reads as 1).  O(N·log(N/C)) cross
-    passes + one finish pass — not a full sort."""
+def merge_bitonic_ascending(planes, chunk_rows, num_cmp, interpret=False,
+                            descending=False):
+    """Bitonic merge of ONE bitonic sequence of pow2 length: the top merge
+    level of the pipeline with every direction forced ascending — or all
+    inverted (`descending=True`).  O(N·log(N/C)) cross passes + one finish
+    pass — not a full sort."""
     rows = planes[0].shape[0]
     log_n = _log2(rows * LANES)
+    # One level only ⇒ spend more VMEM on the finish fusion than the sort
+    # pipeline's default (absorbs one more cross pass per merge; the
+    # arbitrary-N overhead is almost entirely this level's passes).
     return _sort_pipeline(
         planes, chunk_rows, num_cmp, interpret,
-        presorted=True, presorted_log=log_n - 1,
+        presorted=True, presorted_log=log_n - 1, invert=descending,
+        finish_width=2 * FINISH_WIDTH,
     )
 
 
-def _cx_ascending(lo, hi, num_cmp):
-    """Elementwise ascending compare-exchange between two plane lists."""
+def _cx_directed(lo, hi, num_cmp, descending):
+    """Elementwise directed compare-exchange between two plane lists:
+    ascending keeps the min on the low side, descending the max."""
     if num_cmp == 1:
         swap = hi[0] < lo[0]
     else:
         swap = (hi[0] < lo[0]) | ((hi[0] == lo[0]) & (hi[1] < lo[1]))
+    if descending:
+        swap = ~swap
     new_lo = [jnp.where(swap, b, a) for a, b in zip(lo, hi)]
     new_hi = [jnp.where(swap, a, b) for a, b in zip(lo, hi)]
     return new_lo, new_hi
 
 
-def merge_valley_ascending(planes, chunk_rows, num_cmp, interpret=False):
-    """Sort a bitonic sequence of ARBITRARY chunk-multiple length ascending —
-    the arbitrary-N primitive (the reference handles any N via validity
+def merge_valley_ascending(planes, chunk_rows, num_cmp, interpret=False,
+                           descending=False):
+    """Sort a bitonic sequence of ARBITRARY chunk-multiple length — the
+    arbitrary-N primitive (the reference handles any N via validity
     ballots, RadX2-SM7-DEV/includes.glsl:171-182 + counting.comp:50-66; we
     handle it via virtual network wires).
 
-    The input (typically a "valley": descending run ++ ascending run) is
-    merged on a virtual 2^ceil(log2 L)-wire ascending bitonic network whose
-    tail wires hold +inf.  In an ASCENDING merge, a compare-exchange whose
-    high wire is virtual is a no-op (the min lands on the physical low
-    wire), so the tail is never materialized.  Per level:
+    The input (a "valley" — descending run ++ ascending run — or a
+    "mountain"; any bitonic sequence) is merged on a virtual
+    2^ceil(log2 L)-wire directed bitonic network whose tail wires hold
+    +inf (ascending) or -inf (descending).  A compare-exchange whose high
+    wire is virtual is then a no-op — ascending takes the min onto the
+    physical low wire, and min(x, +inf) = x; descending takes the max, and
+    max(x, -inf) = x — so the tail is never materialized.  Per level:
 
       1. the top half-cleaner touches only the physical overhang
          (L - V/2 elements) — one contiguous elementwise compare-exchange;
       2. the low V/2 wires are now fully physical and bitonic → complete
-         pow2 ascending merge (merge_bitonic_ascending, existing kernels);
-      3. every low element <= every high element (half-cleaner lemma), and
-         the high remainder is itself bitonic → iterate on it with a
-         re-tightened virtual size.
+         pow2 directed merge (merge_bitonic_ascending, existing kernels);
+      3. every low element <= (ascending; >= descending) every high
+         element (half-cleaner lemma), and the high remainder is itself
+         bitonic → iterate on it with a re-tightened virtual size.
 
     Work: Σ over halving levels = O(L·log(L/C)) — same order as one pow2
     merge of size L, with zero physical padding.  Returns sorted planes of
@@ -400,27 +415,32 @@ def merge_valley_ascending(planes, chunk_rows, num_cmp, interpret=False):
     rows = planes[0].shape[0]
     c_rows = min(chunk_rows, rows)
     assert rows % c_rows == 0, (rows, c_rows)
-    segments: list[list] = []  # ascending sorted prefixes, in order
+    segments: list[list] = []  # sorted prefixes, in output order
     cur = list(planes)
     while True:
         r = cur[0].shape[0]
         v_rows = 1 << (r - 1).bit_length()  # tight virtual size (rows)
         if r == v_rows:
             segments.append(
-                merge_bitonic_ascending(cur, c_rows, num_cmp, interpret)
+                merge_bitonic_ascending(
+                    cur, c_rows, num_cmp, interpret, descending
+                )
             )
             break
         half = v_rows // 2  # > 0, < r by tightness; multiple of c_rows
         npair = r - half
-        lo, hi = _cx_ascending(
-            [p[:npair] for p in cur], [p[half:] for p in cur], num_cmp
+        lo, hi = _cx_directed(
+            [p[:npair] for p in cur], [p[half:] for p in cur], num_cmp,
+            descending,
         )
         low = [
             jnp.concatenate([a, p[npair:half]], axis=0)
             for a, p in zip(lo, cur)
         ]
         segments.append(
-            merge_bitonic_ascending(low, c_rows, num_cmp, interpret)
+            merge_bitonic_ascending(
+                low, c_rows, num_cmp, interpret, descending
+            )
         )
         cur = hi
     return [
@@ -429,9 +449,12 @@ def merge_valley_ascending(planes, chunk_rows, num_cmp, interpret=False):
     ]
 
 
-def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
+def sort_planes(planes, chunk_rows, num_cmp, interpret=False,
+                descending=False):
     """Sort i32 planes (each shape (rows, 128)) ascending by planes[0]
-    (then planes[1] if num_cmp == 2) in flat row-major order.
+    (then planes[1] if num_cmp == 2) in flat row-major order —
+    or descending (`descending=True`): every network direction bit is
+    flipped, so the reversed order costs exactly the same passes.
 
     rows*128 must be a power of two; chunk_rows*128 is the VMEM working-set
     size per grid step (clamped to the total).  Returns the sorted planes.
@@ -441,7 +464,8 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False):
     donation).
     """
     return _sort_pipeline(
-        planes, chunk_rows, num_cmp, interpret, presorted=False
+        planes, chunk_rows, num_cmp, interpret, presorted=False,
+        invert=descending,
     )
 
 
@@ -469,7 +493,7 @@ def sort_chunks_ascending(planes, chunk_rows, num_cmp, interpret=False):
     )
     out = pl.pallas_call(
         functools.partial(
-            _chunk_sort_kernel, num_cmp, log_c, not interpret, True
+            _chunk_sort_kernel, num_cmp, log_c, not interpret, True, 0
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -552,7 +576,6 @@ def _sort_pipeline(
     assert presorted_log >= log_c or (
         presorted_log == log_c - 1 and total == c
     ), (presorted_log, log_c, total, c)
-    assert not invert or presorted, "invert only applies to merges"
     n_chunks = total // c
     # indices include the scalar-prefetch operand, hence the +1 shift
     alias = {1 + i: i for i in range(n_planes)}
@@ -592,7 +615,8 @@ def _sort_pipeline(
         zero = jnp.zeros((1,), jnp.int32)
         planes = chunked_call(
             functools.partial(
-                _chunk_sort_kernel, num_cmp, log_c, not interpret, False
+                _chunk_sort_kernel, num_cmp, log_c, not interpret, False,
+                int(invert),
             ),
             zero,
         )

@@ -160,12 +160,19 @@ def _sort_arbn_keys_jit(keys, cfg: SortConfig, n: int):
         if idx == len(sizes) - 1:
             pieces.append(_engine([sl], cfg, 1, rows_p * LANES)[0])
         else:
-            # descending = ascending sort of ~x, un-inverted (bit-not is
-            # strictly order-reversing on i32); sentinel pads, if any spill
-            # into this piece, are just large values — the valley merges
-            # push them to the global tail.
-            pieces.append(~(_engine([~sl], cfg, 1, rows_p * LANES)[0]))
+            # non-last pieces sort DESCENDING natively: the bitonic network
+            # with every direction bit flipped — the reversed order costs
+            # exactly the same passes, no elementwise inversion.  Sentinel
+            # pads, if any spill into these pieces, are just large values —
+            # the valley merges push them to the global tail.
+            pieces.append(
+                bitonic.sort_planes(
+                    [sl], c_rows, 1, interpret=interpret, descending=True
+                )[0]
+            )
         row_off += rows_p
+    # Fold smallest-first: [piece_desc ++ suffix_asc] is a bitonic valley;
+    # every fold merges ascending on a virtual +inf-tailed network.
     acc = pieces[-1]
     for pd in reversed(pieces[:-1]):
         valley = jnp.concatenate([pd, acc], axis=0)
@@ -209,9 +216,13 @@ def _sort_arbn_stable_jit(keys, payload, cfg: SortConfig, n: int,
         if idx == len(sizes) - 1:
             pieces.append(list(_engine(sls, cfg, 2, rows_p * LANES)))
         else:
-            inv = [~sls[0], ~sls[1]] + sls[2:]
-            outs = list(_engine(inv, cfg, 2, rows_p * LANES))
-            pieces.append([~outs[0], ~outs[1]] + outs[2:])
+            # non-last pieces: native descending (key, tie) sort — see
+            # _sort_arbn_keys_jit
+            pieces.append(
+                bitonic.sort_planes(
+                    sls, c_rows, 2, interpret=interpret, descending=True
+                )
+            )
         row_off += rows_p
     acc = pieces[-1]
     for pd in reversed(pieces[:-1]):
