@@ -312,7 +312,8 @@ def _cross_stage_kernel(num_cmp, up_ref, *refs):
         o[0, 1, 0] = jnp.where(swap, x, y)
 
 
-FINISH_WIDTH = 8  # chunks fused per finish pass (VMEM-bounded; power of 2)
+FINISH_WIDTH = 16  # chunks fused per finish pass (VMEM-bounded; power of 2)
+# measured on v5e (NOTES.md): 16 beats 8 by +2.4% at 2^23, +0.7% at 2^26
 
 
 def merge_sorted_chunks(planes, chunk_rows, num_cmp, interpret=False):
@@ -361,13 +362,10 @@ def merge_bitonic_ascending(planes, chunk_rows, num_cmp, interpret=False,
     pass — not a full sort."""
     rows = planes[0].shape[0]
     log_n = _log2(rows * LANES)
-    # One level only ⇒ spend more VMEM on the finish fusion than the sort
-    # pipeline's default (absorbs one more cross pass per merge; the
-    # arbitrary-N overhead is almost entirely this level's passes).
     return _sort_pipeline(
         planes, chunk_rows, num_cmp, interpret,
         presorted=True, presorted_log=log_n - 1, invert=descending,
-        finish_width=2 * FINISH_WIDTH,
+        finish_width=16,
     )
 
 

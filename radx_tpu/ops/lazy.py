@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from radx_tpu.config import LANES, SortConfig, resolve_interpret, tuned
@@ -40,7 +41,7 @@ from radx_tpu.ops import sort as sort_ops
 from radx_tpu.ops.filter import _compact_jit
 
 _I32_MAX = 0x7FFFFFFF
-_SIGN = jnp.uint32(0x80000000)
+_SIGN = np.uint32(0x80000000)
 
 
 def _total(n: int) -> int:
