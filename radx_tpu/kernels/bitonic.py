@@ -244,6 +244,30 @@ def _cross_stage2_kernel(num_cmp, up_ref, *refs):
             o[0, i, 0] = x
 
 
+def _cross_stage3_kernel(num_cmp, up_ref, *refs):
+    """Three fused cross substages at consecutive chunk distances 4J/2J/J.
+
+    Block view per plane: (1, 8, 1, c_rows, 128) — the 3-bit field indexes
+    chunks g by bits (j+2, j+1, j); exchanges at distance 4J, then 2J, then
+    J — one read+write of the array instead of three.  Same direction bit
+    (the level bit kk) for all three.
+    """
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    a = pl.program_id(0)
+    up_i = up_ref[a]
+    b = [[r[0, i, 0] for r in in_refs] for i in range(8)]
+    for i in range(4):
+        b[i], b[i + 4] = _cross_pair(b[i], b[i + 4], up_i, num_cmp)
+    for i in (0, 1, 4, 5):
+        b[i], b[i + 2] = _cross_pair(b[i], b[i + 2], up_i, num_cmp)
+    for i in (0, 2, 4, 6):
+        b[i], b[i + 1] = _cross_pair(b[i], b[i + 1], up_i, num_cmp)
+    for i in range(8):
+        for o, x in zip(out_refs, b[i]):
+            o[0, i, 0] = x
+
+
 def _finishw_kernel(num_cmp, log_c, gather, m, scal_ref, *refs):
     """Fused tail of a merge level over W = 2^m chunks: the last m cross
     exchanges (chunk distances W/2 .. 1) plus all intra-chunk substages for
@@ -621,6 +645,7 @@ def _sort_pipeline(
 
     cross = functools.partial(_cross_stage_kernel, num_cmp)
     cross2 = functools.partial(_cross_stage2_kernel, num_cmp)
+    cross3 = functools.partial(_cross_stage3_kernel, num_cmp)
 
     def cross_call(kernel, width, j_low, up_bit):
         """One cross-stage pallas_call; width = 2 (single) or 4 (fused)."""
@@ -694,11 +719,17 @@ def _sort_pipeline(
         # full-array HBM passes per level, bounded by VMEM (finish_width).
         m = min(kk_chunks, _log2(finish_width))
         # cross distances down to chunk-distance W; everything below is
-        # fused into the finish pass
+        # fused into the finish pass.  Greedy fusion: 3 consecutive
+        # distances per pass (8-block view), then 2, then 1.
         djs = list(range(kk - 1, log_c + m - 1, -1))  # consecutive, desc.
         i = 0
         while i < len(djs):
-            if i + 1 < len(djs):
+            rem = len(djs) - i
+            if rem >= 3:
+                j0 = djs[i + 2] - log_c
+                planes = cross_call(cross3, 8, j0, kk_chunks - j0 - 3)
+                i += 3
+            elif rem >= 2:
                 # fuse distances djs[i] = djs[i+1]+1 into one 4-block pass
                 j0 = djs[i + 1] - log_c
                 planes = cross_call(cross2, 4, j0, kk_chunks - j0 - 2)
