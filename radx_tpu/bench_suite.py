@@ -94,7 +94,9 @@ def _groupby_bench(n, name):
     import jax
     import jax.numpy as jnp
 
-    cfg = SortConfig(chunk_rows=512)
+    from radx_tpu.config import tuned
+
+    cfg = tuned()
     if resolve_interpret(cfg):
         n = min(n, 1 << 15)
     keys = (runtime.gen_uniform(n, seed=3) % 10007).astype(np.uint32)
@@ -123,11 +125,47 @@ def _groupby_bench(n, name):
     return m
 
 
+def _filter_bench(n, name):
+    from radx_tpu import runtime
+    from radx_tpu.config import resolve_interpret, tuned
+    from radx_tpu.ops.filter import _compact_jit
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tuned()
+    if resolve_interpret(cfg):
+        n = min(n, 1 << 15)
+    vals = runtime.gen_uniform(n, seed=5)
+    mask = (vals & 1).astype(np.uint32)
+    from radx_tpu.utils import time_op
+
+    mj = jnp.asarray(mask.astype(np.int32))
+    vj = jnp.asarray(jax.lax.bitcast_convert_type(jnp.asarray(vals),
+                                                  jnp.int32))
+
+    # compaction preserves shapes; re-deriving the mask from the compacted
+    # column keeps the chain data-dependent
+    def op(v):
+        (out,), _ = _compact_jit((v & 1), (v,), cfg, n)
+        return out
+
+    m = time_op(op, vj, name=name, items=n, bytes_moved=12 * n, iters=4)
+    # correctness gate
+    (out,), cnt = _compact_jit(mj, (vj,), cfg, n)
+    cnt = int(cnt)
+    got = np.asarray(jax.device_get(out))[:cnt].view(np.uint32)
+    assert np.array_equal(got, vals[mask != 0]), "filter output wrong!"
+    return m
+
+
 CONFIGS = {
     "sort_8m": lambda: _sort_bench(1 << 23, "sort_u32 2^23"),
     "sort_64m": lambda: _sort_bench(1 << 26, "sort_u32 2^26"),
     "pairs_4m": lambda: _pairs_bench(1 << 22, "sort_pairs 2^22"),
+    "pairs_256m": lambda: _pairs_bench(1 << 28, "sort_pairs 2^28"),
     "groupby_4m": lambda: _groupby_bench(1 << 22, "groupby_sum 2^22"),
+    "groupby_64m": lambda: _groupby_bench(1 << 26, "groupby_sum 2^26"),
+    "filter_64m": lambda: _filter_bench(1 << 26, "filter 2^26"),
 }
 
 

@@ -56,7 +56,7 @@ class SortConfig:
     bits_per_pass: int = 8
     tile_rows: int = 16
     strategy: str = "bitonic"
-    chunk_rows: int = 2048  # bitonic VMEM chunk = chunk_rows*128 elements
+    chunk_rows: int = 1024  # bitonic VMEM chunk = chunk_rows*128 elements
     # chunk for stable / multi-plane sorts: the unrolled network's compile
     # time scales with substages x planes, so stable paths use a smaller
     # chunk (more cross/finish stages, all of which share tiny kernels).

@@ -717,7 +717,12 @@ def _sort_pipeline(
         # The finish pass absorbs the last m cross exchanges (chunk
         # distances W/2..1) plus the intra-chunk tails; wider W = fewer
         # full-array HBM passes per level, bounded by VMEM (finish_width).
-        m = min(kk_chunks, _log2(finish_width))
+        # VMEM-bound the fused width: the finish block is
+        # w × c_rows × 128 × 4 B per plane and the kernel keeps ~2 copies
+        # live — w·c_rows > 16384 exceeds the 100 MB scoped-vmem limit
+        # (measured: chunk 2048 × w 16 = 113 MB compile OOM).
+        fw = min(finish_width, max(2, 16384 // c_rows))
+        m = min(kk_chunks, _log2(fw))
         # cross distances down to chunk-distance W; everything below is
         # fused into the finish pass.  Greedy fusion: 3 consecutive
         # distances per pass (8-block view), then 2, then 1.
