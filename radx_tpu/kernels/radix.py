@@ -42,22 +42,25 @@ def _hist_kernel(tile_rows, scalar_ref, x_ref, out_ref):
     e = tile_rows * LANES
     digits = jax.lax.shift_right_logical(x, shift) & 0xFF
 
-    col = digits.reshape(e, 1)
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0) + t * e
-    ) < n
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
-    eq_hi = jnp.where(
-        valid & ((col >> 4) == hi_iota), jnp.float32(1), jnp.float32(0)
-    )
-    eq_lo = jnp.where((col & 15) == lo_iota, jnp.float32(1), jnp.float32(0))
-    hist16 = jax.lax.dot_general(
-        eq_hi,
-        eq_lo,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (16, 16): [hi, lo]
+    # Nibbles along SUBLANES, elements along lanes: Mosaic rejects the
+    # (rows,128)->(e,1) relayout on HW, so each row's one-hots compare the
+    # (1,128) row against a column iota and the dot contracts over lanes.
+    hi = digits >> 4
+    lo = digits & 15
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    nib = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+    one, zero = jnp.float32(1), jnp.float32(0)
+    hist16 = jnp.zeros((16, 16), jnp.float32)
+    for r in range(tile_rows):
+        valid = (t * e + r * LANES + lane) < n
+        eq_hi = jnp.where(valid & (hi[r : r + 1, :] == nib), one, zero)
+        eq_lo = jnp.where(lo[r : r + 1, :] == nib, one, zero)
+        hist16 += jax.lax.dot_general(
+            eq_hi,
+            eq_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (16, 16): [hi, lo]
     out_ref[0] = hist16.astype(jnp.int32)
 
 

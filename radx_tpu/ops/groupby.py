@@ -58,6 +58,64 @@ def _groupby_jit(keys, values, cfg: SortConfig, agg: str):
     return skeys, acc, is_last, num_groups
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "agg", "bins"))
+def _groupby_dense_jit(keys, values, cfg: SortConfig, agg: str, bins: int):
+    from radx_tpu.kernels import aggregate
+    from radx_tpu.ops.filter import _compact_jit
+
+    sums, counts = aggregate.dense_sums(
+        keys, values, bins=bins, interpret=resolve_interpret(cfg)
+    )
+    agg_col = counts if agg == "count" else sums
+    present = (counts > 0).astype(jnp.int32)
+    bin_ids = jax.lax.iota(jnp.int32, bins)
+    (uk, out), ng = _compact_jit(
+        present, (bin_ids, jax.lax.bitcast_convert_type(agg_col, jnp.int32)),
+        cfg, bins,
+    )
+    return (
+        jax.lax.bitcast_convert_type(uk, jnp.uint32),
+        out,
+        ng,
+        jnp.max(keys, initial=jnp.uint32(0)) < jnp.uint32(bins),
+    )
+
+
+def groupby_dense(keys, values, agg: str = "sum",
+                  bins: int = 65536, cfg: SortConfig | None = None):
+    """MXU hash-aggregate for key spaces bounded by `bins` <= 2^16 — the
+    dense fast path (kernels/aggregate.py): one streaming pass of one-hot
+    matmul contractions instead of a stable sort + segmented scan.  Cost is
+    `bins` MACs per row per plane, so the smaller the key space the faster
+    it runs — pass the tightest pow2 bound you have.  Semantics match
+    `groupby` exactly for agg in ("sum", "count") on uint32/int32 values
+    (sums wrap mod 2^32); min/max and float32 need the sort-based
+    `groupby`.  Raises ValueError at runtime if any key >= bins.
+    """
+    cfg = cfg or tuned()
+    keys = jnp.asarray(keys)
+    values = jnp.asarray(values)
+    if keys.dtype != jnp.uint32:
+        raise TypeError("keys must be uint32")
+    if values.dtype not in (jnp.uint32, jnp.int32):
+        raise TypeError("dense groupby values must be uint32/int32")
+    if values.shape != keys.shape:
+        raise ValueError("values must match keys shape")
+    if agg not in ("sum", "count"):
+        raise ValueError(
+            f"dense groupby supports sum/count, not {agg!r} — use groupby"
+        )
+    if not (128 <= bins <= 65536 and bins & (bins - 1) == 0):
+        raise ValueError("bins must be a power of two in [128, 65536]")
+    if keys.shape[0] == 0:
+        return keys, values, jnp.int32(0)
+    uk, out, ng, in_range = _groupby_dense_jit(keys, values, cfg, agg, bins)
+    if not bool(in_range):
+        raise ValueError(f"groupby_dense requires every key < bins={bins}")
+    out_dtype = jnp.int32 if agg == "count" else values.dtype
+    return uk, jax.lax.bitcast_convert_type(out, out_dtype), ng
+
+
 def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):
     """Aggregate `values` per unique uint32 key.
 
