@@ -125,6 +125,52 @@ def _groupby_bench(n, name):
     return m
 
 
+def _groupby_dense_bench(n, name, bins=1024):
+    from radx_tpu import runtime
+    from radx_tpu.config import resolve_interpret, tuned
+    from radx_tpu.ops.groupby import _groupby_dense_jit
+    import jax
+    import jax.numpy as jnp
+
+    from radx_tpu.utils import time_op
+
+    cfg = tuned()
+    if resolve_interpret(cfg):
+        n = min(n, 1 << 15)
+    keys = (runtime.gen_uniform(n, seed=6) % (bins - 7)).astype(np.uint32)
+    vals = runtime.gen_uniform(n, seed=7)
+    kj, vj = jnp.asarray(keys), jnp.asarray(vals)
+
+    # dense_sums keeps (keys, values) shapes out of the picture — chain on
+    # the values by xoring the (n-shaped) inputs with a bin-id broadcast is
+    # not shape-preserving, so chain the whole op on values instead.
+    def op(v):
+        from radx_tpu.kernels import aggregate
+
+        sums, counts = aggregate.dense_sums(
+            kj, v, bins=bins, interpret=resolve_interpret(cfg)
+        )
+        # fold the (bins,) result back into an n-shaped value array to keep
+        # the chain data-dependent without changing shapes
+        return v ^ jax.lax.dynamic_slice(
+            jnp.tile(sums, n // bins + 1), (0,), (n,)
+        )
+
+    m = time_op(op, vj, name=name, items=n, bytes_moved=8 * n, iters=4)
+    # correctness gate on the timed artifact
+    uk, out, ng, _ = _groupby_dense_jit(kj, vj, cfg, "sum", bins)
+    ng = int(ng)
+    uk = np.asarray(jax.device_get(uk))[:ng]
+    out = np.asarray(jax.device_get(out))[:ng].view(np.uint32)
+    want_k = np.unique(keys)
+    assert np.array_equal(uk, want_k), "dense groupby keys wrong!"
+    want = np.zeros(bins, np.uint64)
+    np.add.at(want, keys, vals.astype(np.uint64))
+    assert np.array_equal(out, want.astype(np.uint32)[want_k]), \
+        "dense groupby sums wrong!"
+    return m
+
+
 def _filter_bench(n, name):
     from radx_tpu import runtime
     from radx_tpu.config import resolve_interpret, tuned
@@ -165,6 +211,9 @@ CONFIGS = {
     "pairs_256m": lambda: _pairs_bench(1 << 28, "sort_pairs 2^28"),
     "groupby_4m": lambda: _groupby_bench(1 << 22, "groupby_sum 2^22"),
     "groupby_64m": lambda: _groupby_bench(1 << 26, "groupby_sum 2^26"),
+    "groupby_dense_16m": lambda: _groupby_dense_bench(
+        1 << 24, "groupby_dense 2^24 bins=1024"
+    ),
     "filter_64m": lambda: _filter_bench(1 << 26, "filter 2^26"),
 }
 

@@ -59,10 +59,17 @@ def _flat_shift(x, s: int, rows: int):
 def _combine(op: str, dtype, v, pv, h=None, ph=None):
     if op == "sum":
         return v + pv, None
+    # uint32 min/max: jnp.minimum lowers to arith.minui, which Mosaic fails
+    # to legalize on HW (caught driving Table.groupby("min") on chip —
+    # interpret mode accepts it).  Unsigned compare+select legalizes fine.
     if op == "min":
-        return jnp.minimum(v, pv), None
+        unsigned = jnp.issubdtype(dtype, jnp.unsignedinteger)
+        return (jnp.where(v < pv, v, pv) if unsigned
+                else jnp.minimum(v, pv)), None
     if op == "max":
-        return jnp.maximum(v, pv), None
+        unsigned = jnp.issubdtype(dtype, jnp.unsignedinteger)
+        return (jnp.where(v > pv, v, pv) if unsigned
+                else jnp.maximum(v, pv)), None
     if op == "fill":  # take own value if flagged, else the predecessor's
         return jnp.where(h != 0, v, pv), h | ph
     raise ValueError(op)  # pragma: no cover - validated by wrapper

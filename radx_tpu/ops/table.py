@@ -90,12 +90,23 @@ class Table:
         return Table({n: c[:count] for n, c in zip(names, cols)})
 
     def groupby(self, key: str, value: str, agg: str = "sum",
+                bins: int | None = None,
                 cfg: SortConfig | None = None) -> "Table":
-        """GROUP BY key aggregating value; returns Table(key, agg)."""
+        """GROUP BY key aggregating value; returns Table(key, agg).
+
+        Pass `bins` (pow2 <= 2^16 bounding the key space) to route sum/count
+        through the dense MXU aggregate (kernels/aggregate.py) — ~6x faster
+        than the sort-based path on small key spaces.
+        """
         cfg = cfg or tuned()
-        uk, out, ng = groupby_ops.groupby(
-            self.columns[key], self.columns[value], agg, cfg
-        )
+        if bins is not None and agg in ("sum", "count"):
+            uk, out, ng = groupby_ops.groupby_dense(
+                self.columns[key], self.columns[value], agg, bins, cfg
+            )
+        else:
+            uk, out, ng = groupby_ops.groupby(
+                self.columns[key], self.columns[value], agg, cfg
+            )
         ng = int(ng)
         return Table({key: uk[:ng], agg: out[:ng]})
 

@@ -51,16 +51,21 @@ def check_dense(n, bins, iters=5):
         np.asarray(sums), (want_sums & 0xFFFFFFFF).astype(np.uint32)
     ), "sums MISMATCH"
 
-    f = jax.jit(lambda k, v: aggregate.dense_sums(k, v, bins=bins))
-    jax.block_until_ready(f(keys, vals))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(keys, vals)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # Chained timing (utils/timing doctrine): per-dispatch relay latency
+    # otherwise dominates at these ms-scale kernels.
+    from radx_tpu.utils import time_op
+
+    def op(v):
+        sums, _ = aggregate.dense_sums(keys, v, bins=bins)
+        return v ^ jax.lax.dynamic_slice(
+            jnp.tile(sums, n // bins + 1), (0,), (n,)
+        )
+
+    m = time_op(op, vals, name=f"dense bins={bins}", items=n,
+                bytes_moved=8 * n)
     print(
         f"dense_sums n=2^{n.bit_length()-1} bins={bins}: OK, "
-        f"{n/dt/1e9:.3f} G rows/s ({dt*1e3:.2f} ms)"
+        f"{m.items_per_s/1e9:.3f} G rows/s ({m.seconds*1e3:.2f} ms)"
     )
 
 
