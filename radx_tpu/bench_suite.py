@@ -171,6 +171,53 @@ def _groupby_dense_bench(n, name, bins=1024):
     return m
 
 
+def _groupby_minmax_bench(n, name, bins=1024):
+    from radx_tpu import runtime
+    from radx_tpu.config import resolve_interpret, tuned
+    from radx_tpu.ops.groupby import _groupby_dense_jit, _order_i32
+    import jax
+    import jax.numpy as jnp
+
+    from radx_tpu.utils import time_op
+
+    cfg = tuned()
+    if resolve_interpret(cfg):
+        n = min(n, 1 << 15)
+    keys = (runtime.gen_uniform(n, seed=8) % (bins - 3)).astype(np.uint32)
+    vals = runtime.gen_uniform(n, seed=9)
+    kj = jnp.asarray(keys)
+    ovj = _order_i32(jnp.asarray(vals))  # order-isomorphic i32
+
+    def op(v):
+        from radx_tpu.kernels import aggregate
+
+        ext, counts = aggregate.dense_extrema(
+            kj, v, bins=bins, is_min=True, interpret=resolve_interpret(cfg)
+        )
+        # fold the (bins,) result back into an n-shaped chain input
+        return v ^ jax.lax.dynamic_slice(
+            jnp.tile(ext, n // bins + 1), (0,), (n,)
+        )
+
+    m = time_op(op, ovj, name=name, items=n, bytes_moved=8 * n, iters=4)
+    # correctness gate on the timed artifact (op-level min, uint32 values)
+    uk, out, ng, _ = _groupby_dense_jit(
+        kj, jnp.asarray(vals), cfg, "min", bins
+    )
+    ng = int(ng)
+    uk = np.asarray(jax.device_get(uk))[:ng]
+    got = (
+        np.asarray(jax.device_get(out))[:ng].view(np.uint32)
+        ^ np.uint32(0x80000000)
+    )
+    want_k = np.unique(keys)
+    assert np.array_equal(uk, want_k), "dense min keys wrong!"
+    want = np.full(bins, 0xFFFFFFFF, np.uint32)
+    np.minimum.at(want, keys, vals)
+    assert np.array_equal(got, want[want_k]), "dense min values wrong!"
+    return m
+
+
 def _filter_bench(n, name):
     from radx_tpu import runtime
     from radx_tpu.config import resolve_interpret, tuned
@@ -213,6 +260,9 @@ CONFIGS = {
     "groupby_64m": lambda: _groupby_bench(1 << 26, "groupby_sum 2^26"),
     "groupby_dense_16m": lambda: _groupby_dense_bench(
         1 << 24, "groupby_dense 2^24 bins=1024"
+    ),
+    "groupby_minmax_16m": lambda: _groupby_minmax_bench(
+        1 << 24, "groupby_dense_min 2^24 bins=1024"
     ),
     "filter_64m": lambda: _filter_bench(1 << 26, "filter 2^26"),
 }

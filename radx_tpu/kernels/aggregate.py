@@ -23,8 +23,13 @@ blocks and puts BINS ALONG SUBLANES instead: per row r, one-hots are
 (bh,128)/(bl,128) built by comparing the (1,128) row against a column
 iota, and the contraction runs over the 128 lanes — no relayout anywhere.
 
-Supports sum + count (min/max have no matmul form — ops/groupby falls back
-to the sort-based path).  uint32 sums wrap mod 2^32 like the sort-based op.
+`dense_sums` covers sum + count (matmul contractions).  `dense_extrema`
+covers min/max, which have no matmul form: the accumulator keeps bins along
+sublanes and elements along lanes like the sums kernel, but folds with a
+compare-select instead of a dot — uint32/float32 orderings are handled by
+the caller mapping values into order-isomorphic int32 (signed compare-select
+legalizes on hardware; unsigned `minui/maxui` does not — see NOTES.md).
+uint32 sums wrap mod 2^32 like the sort-based op.
 """
 
 from __future__ import annotations
@@ -150,3 +155,107 @@ def dense_sums(
     sums = b[0] + (b[1] << 8) + (b[2] << 16) + (b[3] << 24)  # wraps mod 2^32
     counts = acc[4].reshape(-1)
     return sums, counts
+
+
+def _dense_extrema_kernel(
+    tile_rows, bins, is_min, ident, scal_ref, k_ref, v_ref, acc_ref
+):
+    """Fold one tile into per-bin extrema + counts.
+
+    acc_ref: (2, bins, 128) i32 revisited by every sequential grid step —
+    plane 0 holds the running per-(bin, lane) extremum in order-isomorphic
+    i32 space, plane 1 the per-(bin, lane) hit count.  The caller folds the
+    128 lanes (min/max resp. sum) after the pass.  Signed compare-select
+    only (uint32 minui/maxui fails Mosaic legalization on HW — NOTES.md).
+    """
+    n = scal_ref[0]
+    t = pl.program_id(0)
+    k = k_ref[0]  # (tile_rows, 128) i32 keys (all < bins)
+    v = v_ref[0]  # (tile_rows, 128) i32 order-isomorphic values
+    e = tile_rows * LANES
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[0] = jnp.full((bins, LANES), ident, jnp.int32)
+        acc_ref[1] = jnp.zeros((bins, LANES), jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (bins, LANES), 0)
+    ext = acc_ref[0]
+    cnt = acc_ref[1]
+    for r in range(tile_rows):
+        valid = (t * e + r * LANES + lane) < n  # (1, 128)
+        hit = valid & (k[r : r + 1, :] == bin_iota)  # (bins, 128)
+        cand = jnp.where(hit, v[r : r + 1, :], jnp.int32(ident))
+        if is_min:
+            ext = jnp.where(cand < ext, cand, ext)
+        else:
+            ext = jnp.where(cand > ext, cand, ext)
+        cnt = cnt + hit.astype(jnp.int32)
+    acc_ref[0] = ext
+    acc_ref[1] = cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bins", "is_min", "tile_rows", "interpret")
+)
+def dense_extrema(
+    keys,
+    ovals,
+    bins: int = 1024,
+    is_min: bool = True,
+    tile_rows: int = 32,
+    interpret: bool = False,
+):
+    """(extrema, counts) over the dense [0, bins) key space.
+
+    keys: (n,) uint32 with every key < bins (callers check); ovals: (n,)
+    int32 whose SIGNED order matches the caller's value order (uint32 →
+    xor sign bit, float32 → sign-magnitude flip; see ops/groupby).
+    bins: power of two in [128, 8192] (the (bins,128) i32 accumulator must
+    stay comfortably inside VMEM).  Returns (extrema[bins] int32 — the
+    identity where the bin is empty, counts[bins] int32).
+    """
+    assert 128 <= bins <= 8192 and bins & (bins - 1) == 0, bins
+    ident = (1 << 31) - 1 if is_min else -(1 << 31)
+    n = keys.shape[0]
+    e = tile_rows * LANES
+    ntiles = cdiv(n, e)
+    total = ntiles * e
+
+    def pad2d(x):
+        flat = jnp.zeros((total,), jnp.uint32).at[:n].set(
+            jax.lax.bitcast_convert_type(x, jnp.uint32)
+        )
+        return jax.lax.bitcast_convert_type(flat, jnp.int32).reshape(
+            ntiles, tile_rows, LANES
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile_rows, LANES), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, tile_rows, LANES), lambda i, s: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, bins, LANES), lambda i, s: (0, 0, 0)),
+    )
+    # the (2, bins, 128) accumulator + compare temporaries exceed the 16 MB
+    # default scoped-vmem at bins = 8192 — raise the cap (v5e has 128 MB)
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    )
+    acc = pl.pallas_call(
+        functools.partial(
+            _dense_extrema_kernel, tile_rows, bins, is_min, ident
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, bins, LANES), jnp.int32),
+        interpret=interpret,
+        compiler_params=params,
+    )(jnp.asarray([n], jnp.int32), pad2d(keys), pad2d(ovals))
+
+    fold = jnp.min if is_min else jnp.max
+    return fold(acc[0], axis=1), jnp.sum(acc[1], axis=1)

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from radx_tpu.config import LANES, SortConfig, resolve_interpret, tuned
 from radx_tpu.kernels import segscan
@@ -58,21 +59,51 @@ def _groupby_jit(keys, values, cfg: SortConfig, agg: str):
     return skeys, acc, is_last, num_groups
 
 
+# np (not jnp): a module-level jnp scalar would execute a jit at import
+# time and initialize the XLA backend, breaking jax.distributed.initialize
+# in multi-host workers (must run before any backend touch).
+_SIGN = np.uint32(0x80000000)
+
+
+def _order_i32(values):
+    """Map uint32/int32/float32 values into order-isomorphic int32 (signed
+    compare order == value order) for the dense extrema kernel."""
+    from radx_tpu.ops import sort as sort_ops
+
+    enc = sort_ops._encode_keys(values)  # order-preserving uint32
+    return jax.lax.bitcast_convert_type(enc ^ _SIGN, jnp.int32)
+
+
+def _order_i32_decode(oi32, dtype):
+    from radx_tpu.ops import sort as sort_ops
+
+    enc = jax.lax.bitcast_convert_type(oi32, jnp.uint32) ^ _SIGN
+    return sort_ops._decode_keys(enc, dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "agg", "bins"))
 def _groupby_dense_jit(keys, values, cfg: SortConfig, agg: str, bins: int):
     from radx_tpu.kernels import aggregate
     from radx_tpu.ops.filter import _compact_jit
 
-    sums, counts = aggregate.dense_sums(
-        keys, values, bins=bins, interpret=resolve_interpret(cfg)
-    )
-    agg_col = counts if agg == "count" else sums
+    if agg in ("min", "max"):
+        ext, counts = aggregate.dense_extrema(
+            keys, _order_i32(values), bins=bins, is_min=(agg == "min"),
+            interpret=resolve_interpret(cfg),
+        )
+        agg_i32 = ext
+    else:
+        sums, counts = aggregate.dense_sums(
+            keys,
+            jax.lax.bitcast_convert_type(values, jnp.int32),
+            bins=bins,
+            interpret=resolve_interpret(cfg),
+        )
+        agg_col = counts if agg == "count" else sums
+        agg_i32 = jax.lax.bitcast_convert_type(agg_col, jnp.int32)
     present = (counts > 0).astype(jnp.int32)
     bin_ids = jax.lax.iota(jnp.int32, bins)
-    (uk, out), ng = _compact_jit(
-        present, (bin_ids, jax.lax.bitcast_convert_type(agg_col, jnp.int32)),
-        cfg, bins,
-    )
+    (uk, out), ng = _compact_jit(present, (bin_ids, agg_i32), cfg, bins)
     return (
         jax.lax.bitcast_convert_type(uk, jnp.uint32),
         out,
@@ -83,37 +114,46 @@ def _groupby_dense_jit(keys, values, cfg: SortConfig, agg: str, bins: int):
 
 def groupby_dense(keys, values, agg: str = "sum",
                   bins: int = 65536, cfg: SortConfig | None = None):
-    """MXU hash-aggregate for key spaces bounded by `bins` <= 2^16 — the
-    dense fast path (kernels/aggregate.py): one streaming pass of one-hot
-    matmul contractions instead of a stable sort + segmented scan.  Cost is
-    `bins` MACs per row per plane, so the smaller the key space the faster
-    it runs — pass the tightest pow2 bound you have.  Semantics match
-    `groupby` exactly for agg in ("sum", "count") on uint32/int32 values
-    (sums wrap mod 2^32); min/max and float32 need the sort-based
-    `groupby`.  Raises ValueError at runtime if any key >= bins.
+    """MXU/VPU hash-aggregate for key spaces bounded by `bins` — the dense
+    fast path (kernels/aggregate.py): one streaming pass instead of a stable
+    sort + segmented scan.  sum/count run as one-hot matmul contractions
+    (bins <= 2^16, `bins` MACs per row per plane); min/max run as per-bin
+    compare-select folds (bins <= 2^13) over order-isomorphic int32.  The
+    smaller the key space the faster it runs — pass the tightest pow2 bound
+    you have.  Semantics match `groupby` exactly: sum on uint32/int32 wraps
+    mod 2^32; min/max cover uint32/int32/float32; count takes any 32-bit
+    values.  Raises ValueError at runtime if any key >= bins.
     """
     cfg = cfg or tuned()
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
     if keys.dtype != jnp.uint32:
         raise TypeError("keys must be uint32")
-    if values.dtype not in (jnp.uint32, jnp.int32):
-        raise TypeError("dense groupby values must be uint32/int32")
+    if values.dtype not in (jnp.uint32, jnp.int32, jnp.float32):
+        raise TypeError("dense groupby values must be uint32/int32/float32")
+    if agg == "sum" and values.dtype == jnp.float32:
+        raise TypeError(
+            "dense float32 sums are inexact on the MXU — use groupby"
+        )
     if values.shape != keys.shape:
         raise ValueError("values must match keys shape")
-    if agg not in ("sum", "count"):
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(f"unknown agg {agg!r}")
+    max_bins = 8192 if agg in ("min", "max") else 65536
+    if not (128 <= bins <= max_bins and bins & (bins - 1) == 0):
         raise ValueError(
-            f"dense groupby supports sum/count, not {agg!r} — use groupby"
+            f"bins must be a power of two in [128, {max_bins}] for {agg!r}"
         )
-    if not (128 <= bins <= 65536 and bins & (bins - 1) == 0):
-        raise ValueError("bins must be a power of two in [128, 65536]")
     if keys.shape[0] == 0:
         return keys, values, jnp.int32(0)
     uk, out, ng, in_range = _groupby_dense_jit(keys, values, cfg, agg, bins)
     if not bool(in_range):
         raise ValueError(f"groupby_dense requires every key < bins={bins}")
-    out_dtype = jnp.int32 if agg == "count" else values.dtype
-    return uk, jax.lax.bitcast_convert_type(out, out_dtype), ng
+    if agg == "count":
+        return uk, out, ng
+    if agg == "sum":
+        return uk, jax.lax.bitcast_convert_type(out, values.dtype), ng
+    return uk, _order_i32_decode(out, values.dtype), ng
 
 
 def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):

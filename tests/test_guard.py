@@ -1,0 +1,86 @@
+"""Failure-detection watchdog (utils/guard.py): deadline detection around
+device steps and deterministic relaunch of stateless ops."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radx_tpu.utils import guard
+
+
+def test_watchdog_passes_fast_step():
+    f = jax.jit(lambda x: x * 2)
+    out = guard.watchdog(f, jnp.arange(8), timeout_s=30.0)
+    np.testing.assert_array_equal(np.asarray(out), np.arange(8) * 2)
+
+
+def test_watchdog_times_out_on_hung_step():
+    def slow(x):
+        def cb(v):
+            time.sleep(1.5)
+            return v
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(x.shape, x.dtype), x
+        )
+
+    with pytest.raises(guard.DeviceTimeout, match="deadline"):
+        guard.watchdog(jax.jit(slow), jnp.arange(4), timeout_s=0.2)
+
+
+def test_watchdog_reraises_device_errors():
+    def bad(x):
+        def cb(v):
+            raise RuntimeError("injected fault")
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(x.shape, x.dtype), x
+        )
+
+    with pytest.raises(Exception, match="injected fault"):
+        guard.watchdog(jax.jit(bad), jnp.arange(4), timeout_s=30.0)
+
+
+def test_retry_deterministic_recovers_and_is_exact():
+    calls = []
+
+    def flaky(x):
+        # fault injection: first dispatch hangs past the deadline, the
+        # relaunch completes — the stateless step returns identical bits.
+        def cb(v):
+            calls.append(None)
+            if len(calls) == 1:
+                time.sleep(1.5)
+            return np.sort(v)
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(x.shape, x.dtype), x
+        )
+
+    keys = np.random.default_rng(0).integers(0, 2**32, 256, dtype=np.uint32)
+    seen = []
+    out = guard.retry_deterministic(
+        flaky, jnp.asarray(keys), retries=2, timeout_s=0.4,
+        on_retry=lambda a, e: seen.append((a, type(e).__name__)),
+    )
+    assert seen and seen[0][1] == "DeviceTimeout"
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_retry_gives_up_after_budget():
+    def always_slow(x):
+        def cb(v):
+            time.sleep(1.0)
+            return v
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(x.shape, x.dtype), x
+        )
+
+    with pytest.raises(guard.DeviceTimeout):
+        guard.retry_deterministic(
+            always_slow, jnp.arange(4), retries=1, timeout_s=0.2
+        )

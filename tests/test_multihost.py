@@ -23,6 +23,26 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def test_import_does_not_initialize_backend():
+    """jax.distributed.initialize must run before any backend touch, so
+    importing radx_tpu must never execute a jitted op (regression: a
+    module-level jnp scalar once broke every multi-host worker)."""
+    code = (
+        "import os;"
+        "os.environ.pop('PALLAS_AXON_POOL_IPS', None);"
+        "os.environ['JAX_PLATFORMS'] = 'cpu';"
+        "import radx_tpu;"
+        "import jax._src.xla_bridge as xb;"
+        "assert not xb._backends, 'importing radx_tpu initialized XLA'"
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, cwd=REPO, env=env,
+        timeout=120,
+    )
+
+
 @pytest.mark.timeout(600)
 def test_two_process_global_sort():
     port = _free_port()
