@@ -107,12 +107,15 @@ def dense_sums(
     bins: int = 65536,
     tile_rows: int = 32,
     interpret: bool = False,
+    n_valid=None,
 ):
     """(sums, counts) over the dense [0, bins) key space.
 
     keys: (n,) uint32, every key must be < bins (callers check — see
     ops/groupby.groupby_dense); values: (n,) uint32/int32 bit patterns;
     bins: power of two in [128, 65536]; tile_rows <= 512 (f32 exactness).
+    n_valid: optional traced count — rows past it are ignored (the
+    LazyTable valid-prefix contract); defaults to all n rows.
     Returns (sums[bins] uint32 — wrapping, counts[bins] int32).
     """
     assert 128 <= bins <= 65536 and bins & (bins - 1) == 0, bins
@@ -120,6 +123,7 @@ def dense_sums(
     bl = 128
     bh = bins // bl
     n = keys.shape[0]
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
     e = tile_rows * LANES
     ntiles = cdiv(n, e)
     total = ntiles * e
@@ -146,7 +150,7 @@ def dense_sums(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((5, bh, bl), jnp.int32),
         interpret=interpret,
-    )(jnp.asarray([n], jnp.int32), pad2d(keys), pad2d(values))
+    )(nv.reshape(1), pad2d(keys), pad2d(values))
 
     b = [
         jax.lax.bitcast_convert_type(acc[p], jnp.uint32).reshape(-1)
@@ -206,6 +210,7 @@ def dense_extrema(
     is_min: bool = True,
     tile_rows: int = 32,
     interpret: bool = False,
+    n_valid=None,
 ):
     """(extrema, counts) over the dense [0, bins) key space.
 
@@ -213,12 +218,14 @@ def dense_extrema(
     int32 whose SIGNED order matches the caller's value order (uint32 →
     xor sign bit, float32 → sign-magnitude flip; see ops/groupby).
     bins: power of two in [128, 8192] (the (bins,128) i32 accumulator must
-    stay comfortably inside VMEM).  Returns (extrema[bins] int32 — the
-    identity where the bin is empty, counts[bins] int32).
+    stay comfortably inside VMEM).  n_valid: optional traced count — rows
+    past it are ignored; defaults to all n rows.  Returns (extrema[bins]
+    int32 — the identity where the bin is empty, counts[bins] int32).
     """
     assert 128 <= bins <= 8192 and bins & (bins - 1) == 0, bins
     ident = (1 << 31) - 1 if is_min else -(1 << 31)
     n = keys.shape[0]
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
     e = tile_rows * LANES
     ntiles = cdiv(n, e)
     total = ntiles * e
@@ -255,7 +262,7 @@ def dense_extrema(
         out_shape=jax.ShapeDtypeStruct((2, bins, LANES), jnp.int32),
         interpret=interpret,
         compiler_params=params,
-    )(jnp.asarray([n], jnp.int32), pad2d(keys), pad2d(ovals))
+    )(nv.reshape(1), pad2d(keys), pad2d(ovals))
 
     fold = jnp.min if is_min else jnp.max
     return fold(acc[0], axis=1), jnp.sum(acc[1], axis=1)

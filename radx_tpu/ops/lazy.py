@@ -128,6 +128,42 @@ def groupby_lazy(keys, values, count, agg: str, cfg: SortConfig, n: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "agg", "bins"))
+def groupby_lazy_dense(keys, values, count, agg: str, cfg: SortConfig,
+                       bins: int):
+    """Dense MXU/VPU aggregation with a traced valid-row count (LazyTable
+    rows are a compacted valid prefix, so `count` maps directly onto the
+    dense kernels' n_valid gate — no sort, no sync).  See
+    ops/groupby.groupby_dense for semantics; out-of-range keys among the
+    valid prefix are the caller's contract (garbage rows past `count` are
+    ignored by construction)."""
+    from radx_tpu.kernels import aggregate
+    from radx_tpu.ops.groupby import _order_i32
+
+    interpret = resolve_interpret(cfg)
+    if agg in ("min", "max"):
+        ext, counts = aggregate.dense_extrema(
+            keys, _order_i32(values), bins=bins, is_min=(agg == "min"),
+            interpret=interpret, n_valid=count,
+        )
+        agg_i32 = ext
+    else:
+        sums, counts = aggregate.dense_sums(
+            keys,
+            jax.lax.bitcast_convert_type(values, jnp.int32),
+            bins=bins,
+            interpret=interpret,
+            n_valid=count,
+        )
+        agg_i32 = jax.lax.bitcast_convert_type(
+            counts if agg == "count" else sums, jnp.int32
+        )
+    present = (counts > 0).astype(jnp.int32)
+    bin_ids = jax.lax.iota(jnp.int32, bins)
+    (uk, out), ng = _compact_jit(present, (bin_ids, agg_i32), cfg, bins)
+    return jax.lax.bitcast_convert_type(uk, jnp.uint32), out, ng
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nb", "np_"))
 def join_lazy(build_keys, build_vals, bcount, probe_keys, probe_vals,
               pcount, cfg: SortConfig, nb: int, np_: int):
