@@ -3,16 +3,24 @@
 Built from scratch (JAX / XLA / Pallas / pjit) with the capabilities of the
 RadX Vulkan radix-sort library (/root/reference), re-designed TPU-first:
 
-  * LSD radix sort of uint32 keys (+ payload) as Pallas kernels — per-tile
-    digit histogram → hierarchical prefix scan → stable rank-and-scatter,
-    ping-ponged across 4×8-bit passes.  RadX's subgroup-partitioned ballot
-    ranking (ballotlib.glsl:112-144) becomes one-hot / nibble-outer-product
-    matmul ranking on the MXU in VMEM tiles.
-  * Relational operators on the same primitives: filter, hash aggregate,
-    hash join (radix-partitioned build/probe).
-  * Multi-chip / multi-host scaling via jax.sharding.Mesh + shard_map:
-    MSD-first distributed shuffle with skew-aware digit splitting and
-    all_to_all key exchange.
+  * Single-chip sorts of uint32/int32/float32 keys (+ payloads) as Pallas
+    kernels.  Two engines behind one API (ops/sort.py): the flagship
+    bitonic merge network (static data movement — rolls, lane gathers,
+    block exchanges), and the radix distribution sort
+    (strategy="radix", kernels/radix_sort.py) realizing the reference's
+    counting → partition → scattering pipeline at chunk granularity:
+    per-chunk rank (counting/partition, RadX counting.comp/partition.comp)
+    fused with a slot-packed scatter (scattering.comp), then per-bucket
+    merges.  RadX's subgroup-partitioned ballot ranking
+    (ballotlib.glsl:112-144) becomes one-hot / nibble-outer-product matmul
+    ranking on the MXU in VMEM tiles (kernels/radix.py, kernels/aggregate.py).
+  * Relational operators on the same primitives: filter, hash aggregate
+    (sort-based + dense MXU one-hot contraction), merge/hash join.
+  * Multi-chip / multi-host scaling via jax.sharding.Mesh + shard_map
+    (parallel/dist_sort.py): local sort → all_gather'ed sample splitters
+    (skew-bounded: every device receives ≤ N/D + N/(64·D) keys under any
+    distribution) → slot-packed ppermute exchange waves overlapped with
+    pairwise run merges.
   * Bit-exact CPU oracles (NumPy + native C++) as the correctness gate.
 """
 

@@ -121,9 +121,10 @@ def groupby_lazy(keys, values, count, agg: str, cfg: SortConfig, n: int):
          jax.lax.bitcast_convert_type(acc, jnp.int32)),
         cfg, n,
     )
+    out_dtype = jnp.int32 if agg == "count" else values.dtype
     return (
         jax.lax.bitcast_convert_type(uk, jnp.uint32),
-        jax.lax.bitcast_convert_type(out, values.dtype),
+        jax.lax.bitcast_convert_type(out, out_dtype),
         num_groups,
     )
 
@@ -136,9 +137,11 @@ def groupby_lazy_dense(keys, values, count, agg: str, cfg: SortConfig,
     dense kernels' n_valid gate — no sort, no sync).  See
     ops/groupby.groupby_dense for semantics; out-of-range keys among the
     valid prefix are the caller's contract (garbage rows past `count` are
-    ignored by construction)."""
+    ignored by construction).  Aggregates come back in `values.dtype`
+    (min/max decoded from the kernel's order-isomorphic i32 space, sums
+    bitcast) — count stays int32."""
     from radx_tpu.kernels import aggregate
-    from radx_tpu.ops.groupby import _order_i32
+    from radx_tpu.ops.groupby import _order_i32, _order_i32_decode
 
     interpret = resolve_interpret(cfg)
     if agg in ("min", "max"):
@@ -161,6 +164,10 @@ def groupby_lazy_dense(keys, values, count, agg: str, cfg: SortConfig,
     present = (counts > 0).astype(jnp.int32)
     bin_ids = jax.lax.iota(jnp.int32, bins)
     (uk, out), ng = _compact_jit(present, (bin_ids, agg_i32), cfg, bins)
+    if agg in ("min", "max"):
+        out = _order_i32_decode(out, values.dtype)
+    elif agg == "sum":
+        out = jax.lax.bitcast_convert_type(out, values.dtype)
     return jax.lax.bitcast_convert_type(uk, jnp.uint32), out, ng
 
 
@@ -301,13 +308,32 @@ class LazyTable:
         ]
         return LazyTable(dict(zip(names, cols)), count, self.cfg)
 
-    def groupby(self, key: str, value: str, agg: str = "sum") -> "LazyTable":
+    def groupby(self, key: str, value: str, agg: str = "sum",
+                bins: int | None = None) -> "LazyTable":
+        """GROUP BY key aggregating value (same surface as Table.groupby).
+
+        Pass `bins` (a pow2 bound on the key space: <= 2^16 for sum/count,
+        <= 2^13 for min/max) to route through the dense MXU/VPU aggregate —
+        no sort, no sync, same semantics.  Keys past the bound among the
+        valid prefix are the caller's contract (checked only in the eager
+        API, which is allowed a host sync)."""
         if agg not in ("sum", "count", "min", "max"):
             raise ValueError(f"unknown agg {agg!r}")
-        uk, out, ng = groupby_lazy(
-            self.columns[key], self.columns[value], self.count, agg,
-            self.cfg, self.padded_rows,
+        dense_ok = bins is not None and (
+            (agg == "sum" and self.columns[value].dtype != jnp.float32)
+            or agg == "count"
+            or (agg in ("min", "max") and bins <= 8192)
         )
+        if dense_ok:
+            uk, out, ng = groupby_lazy_dense(
+                self.columns[key], self.columns[value], self.count, agg,
+                self.cfg, bins,
+            )
+        else:
+            uk, out, ng = groupby_lazy(
+                self.columns[key], self.columns[value], self.count, agg,
+                self.cfg, self.padded_rows,
+            )
         return LazyTable({key: uk, agg: out}, ng, self.cfg)
 
     def join(self, other: "LazyTable", on: str, value: str,

@@ -135,21 +135,33 @@ class Table:
             return Table(
                 {on: k[:count], value: pv[:count], other_value: bv[:count]}
             )
-        k, bv, pv, valid, truncated = join_ops.join_inner(
+        # multi-match rides the gather-free tagged merge join
+        # (join_merge_multi): tagged union sort + ONE multi-plane segmented
+        # fill — never jnp.searchsorted, whose XLA lowering is pathological
+        # at 2^26+ rows on TPU (measured 720 s; NOTES.md).
+        k, bv, pv, valid, truncated = join_ops.join_merge_multi(
             other.columns[on], other.columns[other_value],
             self.columns[on], self.columns[value],
             max_matches=max_matches, cfg=cfg,
         )
         if bool(truncated):
             raise ValueError(
-                "join truncated: a probe key exceeded max_matches; re-run "
+                "join truncated: a build key exceeded max_matches; re-run "
                 f"with max_matches > {max_matches}"
             )
-        flat_valid = valid.reshape(-1)
+        m = valid.shape[0]
+        n = k.shape[0]
+        # (M, n) -> (n, M) so output rows stay key-sorted with the M match
+        # ranks of a probe row adjacent
+        flat_valid = valid.T.reshape(-1)
         cols, count = filter_ops.filter_columns(
             flat_valid.astype(jnp.int32),
-            [k.reshape(-1), pv.reshape(-1), bv.reshape(-1)],
+            [
+                jnp.broadcast_to(k[:, None], (n, m)).reshape(-1),
+                jnp.broadcast_to(pv[:, None], (n, m)).reshape(-1),
+                bv.T.reshape(-1),
+            ],
             cfg,
         )
         count = int(count)
-        return Table({n: c[:count] for n, c in zip(names, cols)})
+        return Table({n_: c[:count] for n_, c in zip(names, cols)})

@@ -159,3 +159,36 @@ def test_all_max_key_groupby(rng):
     out = lt.groupby("k", "v", "sum").collect().to_numpy()
     np.testing.assert_array_equal(out["k"], [0xFFFFFFFF])
     np.testing.assert_array_equal(out["sum"], [np.arange(40).sum()])
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+def test_groupby_dense_matches_lazy_sort_path(rng, agg):
+    """bins= routes through groupby_lazy_dense; results (incl. the min/max
+    order-isomorphic DECODE and the n_valid gate after a filter) must match
+    the sort-based lazy path exactly (ADVICE r2 medium)."""
+    t = _sales(rng, n=2000)
+    lt = t.lazy(CFG).filter(t.lazy(CFG).column("returned") == 0)
+    got = lt.groupby("store", "amount", agg, bins=128).collect().to_numpy()
+    want = lt.groupby("store", "amount", agg).collect().to_numpy()
+    np.testing.assert_array_equal(got["store"], want["store"])
+    np.testing.assert_array_equal(got[agg], want[agg])
+    assert got[agg].dtype == want[agg].dtype
+
+
+@pytest.mark.parametrize("agg", ["min", "max"])
+def test_groupby_dense_float32_decodes(rng, agg):
+    """float32 extrema through the dense path must come back as the actual
+    float values, not encoded bit patterns."""
+    n = 1024
+    keys = rng.integers(0, 16, n).astype(np.uint32)
+    vals = (rng.standard_normal(n) * 100).astype(np.float32)
+    t = Table.from_arrays(store=keys, amount=vals)
+    got = (
+        t.lazy(CFG).groupby("store", "amount", agg, bins=128)
+        .collect().to_numpy()
+    )
+    uniq = np.unique(keys)
+    fn = np.min if agg == "min" else np.max
+    want = np.array([fn(vals[keys == u]) for u in uniq], np.float32)
+    np.testing.assert_array_equal(got["store"], uniq)
+    np.testing.assert_array_equal(got[agg], want)

@@ -33,6 +33,11 @@ def test_import_does_not_initialize_backend():
         "os.environ['JAX_PLATFORMS'] = 'cpu';"
         "import radx_tpu;"
         "import jax._src.xla_bridge as xb;"
+        # the private registry is version-fragile: fail LOUDLY if it moves
+        # rather than silently passing a vacuous assert (ADVICE r2)
+        "assert hasattr(xb, '_backends'), ("
+        "    'jax._src.xla_bridge._backends moved — update this test to the'"
+        "    ' new backend-initialization signal');"
         "assert not xb._backends, 'importing radx_tpu initialized XLA'"
     )
     env = dict(os.environ)
