@@ -7,11 +7,9 @@ RadX Vulkan radix-sort library (/root/reference), re-designed TPU-first:
     kernels.  Two engines behind one API (ops/sort.py): the flagship
     bitonic merge network (static data movement — rolls, lane gathers,
     block exchanges), and the radix distribution sort
-    (strategy="radix", kernels/radix_sort.py) realizing the reference's
-    counting → partition → scattering pipeline at chunk granularity:
-    per-chunk rank (counting/partition, RadX counting.comp/partition.comp)
-    fused with a slot-packed scatter (scattering.comp), then per-bucket
-    merges.  RadX's subgroup-partitioned ballot ranking
+    (strategy="radix", kernels/msd.py) realizing the reference's
+    counting → partition → scattering pipeline at chunk granularity.
+    RadX's subgroup-partitioned ballot ranking
     (ballotlib.glsl:112-144) becomes one-hot / nibble-outer-product matmul
     ranking on the MXU in VMEM tiles (kernels/radix.py, kernels/aggregate.py).
   * Relational operators on the same primitives: filter, hash aggregate

@@ -9,10 +9,9 @@ one-hot matmuls on the MXU**: a 256-bin histogram is the 16x16 outer
 contraction of hi-nibble and lo-nibble one-hots — 32 VPU compares per key
 and a (16,1024)x(1024,16) matmul, instead of 256 VPU compares.
 
-Callers: the digit-histogram splitter refinement in the radix distribution
-sort (kernels/radix_sort.py) and the oracle-parity tests
-(tests/test_radix_kernels.py) — the same role counting/partition play for
-the reference's scattering stage.
+Callers: the oracle-parity tests (tests/test_radix_kernels.py) and the
+measurement probes (tools/probe_radix_prims.py) — the same role
+counting/partition play for the reference's scattering stage.
 
 The digit shift is a scalar-prefetch runtime input, so ONE compiled kernel
 serves all four 8-bit passes (the reference forks per digit via push
