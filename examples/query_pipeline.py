@@ -58,6 +58,32 @@ def main():
         s: am[(st == s) & (rt == 0)].sum() for s in np.unique(st)
     }
     assert all(want[s] == t for s, t in zip(out["store"], out["sum"]))
+
+    # --- the same pipeline, lazily: PROVABLY one host sync ----------------
+    # The whole filter -> groupby -> join -> sort chain builds under a
+    # device->host transfer guard that RAISES on any sync — the eager
+    # Table's per-operator int(count) syncs would trip it.  collect() is
+    # the single sync, performed after the guard exits.
+    import jax
+
+    # interpret-mode executables hold many JIT code mappings; drop the eager
+    # pipeline's before compiling the lazy one (vm.max_map_count headroom)
+    jax.clear_caches()
+
+    lt = sales.lazy(CFG)
+    ls = stores.lazy(CFG)
+    mask = sales.column("returned") == 0
+    with jax.transfer_guard_device_to_host("disallow"):
+        kept = lt.filter(mask)
+        agg = kept.groupby("store", "amount", "sum")
+        joined = agg.join(ls, on="store", value="sum", other_value="region")
+        top_lazy = joined.sort_by("sum", descending=True)
+    out_lazy = top_lazy.collect().to_numpy()  # <- the one sync
+    assert all(
+        want[s] == t for s, t in zip(out_lazy["store"], out_lazy["sum"])
+    )
+    print("lazy pipeline: zero syncs until collect() — verified by "
+          "jax.transfer_guard_device_to_host('disallow')")
     print("verified against NumPy.")
 
     # Same query as ONE fused XLA program: the lazy API threads a traced

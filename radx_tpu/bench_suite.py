@@ -87,6 +87,79 @@ def _pairs_bench(n, name):
     return m
 
 
+def _sort_radix_bench(n, name):
+    """strategy="radix" — the radix distribution sort (kernels/radix_sort)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radx_tpu import runtime
+    from radx_tpu.config import SortConfig, resolve_interpret
+    from radx_tpu.kernels import radix_sort
+    from radx_tpu.utils import time_op
+
+    cfg = SortConfig()
+    interpret = resolve_interpret(cfg)
+    if interpret:
+        n = min(n, 1 << 16)
+    keys = runtime.gen_permutation(n, seed=1)
+    plane = jnp.asarray(
+        (keys ^ np.uint32(0x80000000)).astype(np.int32).reshape(-1, 128)
+    )
+    r_rows = radix_sort.pick_chunk_rows(n, cfg.chunk_rows)
+    if interpret:
+        r_rows = 64
+    if radix_sort.plan(n, r_rows) is None:
+        raise SystemExit(f"{name}: no radix plan for n={n}")
+
+    def op(p):
+        return radix_sort.sort_radix([p], r_rows, 1, interpret=interpret)[0][0]
+
+    m = time_op(op, plane, name=name, items=n, bytes_moved=8 * n)
+    outs, ovf = jax.jit(
+        lambda p: radix_sort.sort_radix([p], r_rows, 1, interpret=interpret)
+    )(plane)
+    assert not bool(ovf), "radix overflow on the bench workload!"
+    out = np.asarray(jax.device_get(outs[0])).reshape(-1)
+    out = out.astype(np.uint32) ^ np.uint32(0x80000000)
+    from radx_tpu import runtime as rt
+
+    assert rt.validate_sort(keys, out) == 0, "radix sort output invalid!"
+    return m
+
+
+def _pairs_unique_bench(n, name):
+    """sort_pairs(assume_unique=True) on the reference's own workload shape
+    (a shuffled permutation, src/test/sort.cpp:348-350): unique keys drop
+    the tiebreak plane."""
+    import jax
+    import jax.numpy as jnp
+
+    from radx_tpu import runtime
+    from radx_tpu.config import resolve_interpret, tuned
+    from radx_tpu.ops import sort as sort_ops
+    from radx_tpu.utils import time_op
+
+    cfg = tuned()
+    if resolve_interpret(cfg):
+        n = min(n, 1 << 15)
+    keys = runtime.gen_permutation(n, seed=12)
+    vals = np.arange(n, dtype=np.int32)
+    kj, vj = jnp.asarray(keys), jnp.asarray(vals)
+
+    def op(kv):
+        return sort_ops.sort_pairs(kv[0], kv[1], cfg, assume_unique=True)
+
+    m = time_op(op, (kj, vj), name=name, items=n, bytes_moved=16 * n)
+    k_out, v_out = jax.jit(op)((kj, vj))
+    k_out = np.asarray(jax.device_get(k_out))
+    v_out = np.asarray(jax.device_get(v_out))
+    assert np.array_equal(k_out, np.arange(n, dtype=np.uint32)), \
+        "unique-pairs keys not sorted!"
+    assert np.array_equal(v_out, np.argsort(keys)), \
+        "unique-pairs payload wrong!"
+    return m
+
+
 def _groupby_bench(n, name):
     from radx_tpu import runtime
     from radx_tpu.config import SortConfig, resolve_interpret
@@ -254,8 +327,17 @@ def _filter_bench(n, name):
 CONFIGS = {
     "sort_8m": lambda: _sort_bench(1 << 23, "sort_u32 2^23"),
     "sort_64m": lambda: _sort_bench(1 << 26, "sort_u32 2^26"),
+    "sort_268m": lambda: _sort_bench(1 << 28, "sort_u32 2^28"),
+    "sort_radix_64m": lambda: _sort_radix_bench(1 << 26, "sort_radix 2^26"),
+    "sort_radix_268m": lambda: _sort_radix_bench(1 << 28, "sort_radix 2^28"),
     "pairs_4m": lambda: _pairs_bench(1 << 22, "sort_pairs 2^22"),
     "pairs_256m": lambda: _pairs_bench(1 << 28, "sort_pairs 2^28"),
+    "pairs_unique_4m": lambda: _pairs_unique_bench(
+        1 << 22, "sort_pairs_unique 2^22"
+    ),
+    "pairs_unique_256m": lambda: _pairs_unique_bench(
+        1 << 28, "sort_pairs_unique 2^28"
+    ),
     "groupby_4m": lambda: _groupby_bench(1 << 22, "groupby_sum 2^22"),
     "groupby_64m": lambda: _groupby_bench(1 << 26, "groupby_sum 2^26"),
     "groupby_dense_16m": lambda: _groupby_dense_bench(

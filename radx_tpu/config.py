@@ -38,11 +38,12 @@ class SortConfig:
       strategy: single-chip sort strategy —
         ``"bitonic"``: flagship Pallas bitonic merge network (static data
         movement; kernels/bitonic.py);
-        ``"radix"``: the MSD split sort (kernels/msd.py) — the production
-        radix path mirroring the reference's counting/partition/scattering
-        pipeline at chunk granularity; falls back to the bitonic network
-        (lax.cond) when the size is unsupported or the sample splitters
-        overflow under adversarial skew;
+        ``"radix"``: the radix distribution sort (kernels/radix_sort.py) —
+        the production radix path mirroring the reference's
+        counting/partition/scattering pipeline (histogram-driven splitters
+        + slot-packed scatter + per-bucket merges); falls back to the
+        bitonic network (lax.cond) when the size is unsupported or a slot
+        overflows under adversarial skew;
         ``"lax"``: jax.lax.sort fallback — the analogue of RadX's
         lowest-common-denominator "universal" SPIR-V variant.
       chunk_rows: bitonic VMEM chunk height; one chunk = chunk_rows*128

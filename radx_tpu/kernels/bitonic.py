@@ -68,9 +68,20 @@ def _flat_iota(rows):
     return r * LANES + l
 
 
-def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
+def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True,
+              unique=True):
     """One compare-exchange at distance d = 2^dj; up_i is the i32 {0,1}
     ascending mask for the current level.
+
+    `unique=False` (required when num_cmp == 1 planes carry riders and the
+    compare keys may TIE): each lane decides one-sidedly from its own
+    compare, and the default formula reads as y<=x on one slot of the pair
+    — on a tie both slots resolve to the SAME element, duplicating one
+    rider and dropping the other (found on HW via groupby value
+    corruption).  The fix computes the strict comparison for each side
+    (one extra vector compare), so tied pairs keep their own elements.
+    Comparators that cannot tie (unique keys, or an iota tiebreak plane)
+    keep the cheaper formula.
 
     Single-roll formulation: roll every plane by -d so each *pair leader*
     (bit d clear) sees its partner; sort the pair locally (min/max or one
@@ -96,11 +107,20 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
     static = isinstance(dj, int)
     d = (1 << dj) if static else (jnp.int32(1) << dj)
 
+    tie_riders = (not unique) and num_cmp == 1 and len(planes) > 1
+
     if axis == 1 and gather:
         lane = jax.lax.broadcasted_iota(jnp.int32, planes[0].shape, 1)
         idx = lane ^ d
         ys = [jnp.take_along_axis(x, idx, axis=1) for x in planes]
         x0, y0 = planes[0], ys[0]
+        is_high_i = (flat & d != 0).astype(jnp.int32)
+        if tie_riders:
+            y_lt_i = (y0 < x0).astype(jnp.int32)
+            y_gt_i = (x0 < y0).astype(jnp.int32)
+            use_lt = up_i ^ is_high_i  # i32 {0,1}; up_i may be scalar
+            take_y = (use_lt * y_lt_i + (1 - use_lt) * y_gt_i) != 0
+            return [jnp.where(take_y, y, x) for x, y in zip(planes, ys)]
         if num_cmp == 1:
             y_lt_i = (y0 < x0).astype(jnp.int32)
         else:
@@ -108,7 +128,6 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
             y_lt_i = (y0 < x0).astype(jnp.int32) | (
                 (y0 == x0).astype(jnp.int32) & (y1 < x1).astype(jnp.int32)
             )
-        is_high_i = (flat & d != 0).astype(jnp.int32)
         take_y = (1 - (y_lt_i ^ up_i ^ is_high_i)) != 0
         return [jnp.where(take_y, y, x) for x, y in zip(planes, ys)]
 
@@ -144,6 +163,10 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
     # At each pair leader: the low slot takes the rolled-in partner iff the
     # comparison agrees with the direction; the high slot takes the other.
     # chosen_low = y iff (y_lt == up); chosen_high = y iff (y_lt != up).
+    # (The roll form is tie-safe as-is: BOTH slots are decided at the pair
+    # leader from one comparison, so the choices are complementary by
+    # construction — on a tie low keeps x and high keeps y.  Only the
+    # per-lane one-sided gather form above needs the tie_riders fix.)
     low_takes_y = (y_lt_i ^ (1 - up_i)) != 0
     high_takes_y = (y_lt_i ^ up_i) != 0
     is_high = (flat & d) != 0
@@ -155,7 +178,8 @@ def _substage(planes, dj, up_i, flat, num_cmp, axis=None, gather=True):
     return out
 
 
-def _chunk_network(planes, gflat, flat, log_c, num_cmp, gather, invert=0):
+def _chunk_network(planes, gflat, flat, log_c, num_cmp, gather, invert=0,
+                   unique=True):
     """The full intra-chunk bitonic network (stages 1..log_c) on VMEM-resident
     planes.  Fully static: every roll distance is a compile-time constant.
     invert=1 flips every direction bit: a descending sort at identical cost."""
@@ -166,12 +190,12 @@ def _chunk_network(planes, gflat, flat, log_c, num_cmp, gather, invert=0):
             # Distances >= 128 need sublane rolls only; < 128 lane rolls only.
             planes = _substage(
                 planes, dj, up_i, flat, num_cmp,
-                axis=0 if dj >= 7 else 1, gather=gather,
+                axis=0 if dj >= 7 else 1, gather=gather, unique=unique,
             )
     return planes
 
 
-def _chunk_sort_kernel(num_cmp, log_c, gather, ascending, invert,
+def _chunk_sort_kernel(num_cmp, log_c, gather, ascending, invert, unique,
                        _scalar_ref, *refs):
     n = len(refs) // 2
     in_refs, out_refs = refs[:n], refs[n:]
@@ -184,13 +208,14 @@ def _chunk_sort_kernel(num_cmp, log_c, gather, ascending, invert,
     gflat = flat if ascending else flat + pl.program_id(0) * (rows * LANES)
     planes = _chunk_network(
         [r[0] for r in in_refs], gflat, flat, log_c, num_cmp, gather,
-        invert,
+        invert, unique,
     )
     for o, x in zip(out_refs, planes):
         o[0] = x
 
 
-def _chunk_sort_cyclic_kernel(num_cmp, log_c, gather, _scalar_ref, *refs):
+def _chunk_sort_cyclic_kernel(num_cmp, log_c, gather, unique,
+                              _scalar_ref, *refs):
     """Ascending chunk sort whose input block is the block-cyclic view
     (n_groups, 1, t_rows, 128) — chunk c owns every n_chunks-th tile of the
     flat array, so locally-ordered inputs (presorted/reverse/clustered)
@@ -202,9 +227,111 @@ def _chunk_sort_cyclic_kernel(num_cmp, log_c, gather, _scalar_ref, *refs):
     rows = shp[0] * shp[2]
     flat = _flat_iota(rows)
     planes = [r[:, 0].reshape(rows, LANES) for r in in_refs]
-    planes = _chunk_network(planes, flat, flat, log_c, num_cmp, gather)
+    planes = _chunk_network(planes, flat, flat, log_c, num_cmp, gather,
+                            0, unique)
     for o, x in zip(out_refs, planes):
         o[0] = x
+
+
+def _reverse_slots(planes, rows, log_slot):
+    """x[i] -> x[i ^ (S-1)] within every slot of S = 2^log_slot elements:
+    a full element reversal per slot (i ^ (S-1) flips every index bit).
+    Lane bits reverse with ONE static lane gather (lane ^ 127); each row
+    bit b reverses with an XOR-distance exchange built from two static
+    sublane rolls + a select — only proven-fast Mosaic primitives, no
+    lax.rev.  log_slot >= 7 (slots are whole rows)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    idx = lane ^ (LANES - 1)
+    planes = [jnp.take_along_axis(p, idx, axis=1) for p in planes]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    for b in range(log_slot - 7):
+        d = 1 << b
+        hi = ((rowi >> b) & 1) != 0
+        planes = [
+            jnp.where(
+                hi,
+                pltpu.roll(p, d % rows, 0),
+                pltpu.roll(p, (-d) % rows, 0),
+            )
+            for p in planes
+        ]
+    return planes
+
+
+def _slot_merge_kernel(num_cmp, log_c, log_slot, gather, unique,
+                       _scalar_ref, *refs):
+    """Merge the C-elem block's alternating sorted slots into one ascending
+    sequence, entirely in VMEM.  Precondition handled here: the caller's
+    slots are ALL ascending (the pack kernel emits ascending runs with
+    sentinel tails); odd slots are first reversed in-register, giving the
+    standard bitonic level invariant (block of 2^log_slot sorted ascending
+    iff bit log_slot of the flat index is 0), then merge levels
+    log_slot+1 .. log_c run with the within-block direction rule — the top
+    level's bit is always 0, so the block emerges ascending."""
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    rows = in_refs[0].shape[1]
+    flat = _flat_iota(rows)
+    planes = [r[0] for r in in_refs]
+    odd = ((flat >> log_slot) & 1) != 0
+    rev = _reverse_slots(planes, rows, log_slot)
+    planes = [jnp.where(odd, rv, p) for p, rv in zip(planes, rev)]
+    for kk in range(log_slot + 1, log_c + 1):
+        up_i = 1 - ((flat >> kk) & 1)
+        for dj in range(kk - 1, -1, -1):
+            planes = _substage(
+                planes, dj, up_i, flat, num_cmp,
+                axis=0 if dj >= 7 else 1, gather=gather, unique=unique,
+            )
+    for o, x in zip(out_refs, planes):
+        o[0] = x
+
+
+def merge_slots_ascending(planes, slot_rows, chunk_rows, num_cmp,
+                          interpret=False, unique=True):
+    """Merge, independently for every block of chunk_rows*128 elements, its
+    chunk_rows/slot_rows ascending sorted slots (slot_rows*128 elements
+    each) into one ascending sequence — the radix distribution sort's
+    phase-C: O(C·log(n_slots)·log C) merge work instead of a full
+    O(C·log²C) re-sort of packed runs.  Pads (sentinel tails inside every
+    slot) end at each block's tail.  One grid step per block, VMEM
+    resident, outputs aliased onto inputs."""
+    rows = planes[0].shape[0]
+    n_planes = len(planes)
+    c_rows = min(chunk_rows, rows)
+    log_c = _log2(c_rows * LANES)
+    log_slot = _log2(slot_rows * LANES)
+    assert c_rows % slot_rows == 0 and rows % c_rows == 0
+    n_chunks = rows // c_rows
+    alias = {1 + i: i for i in range(n_planes)}
+    spec = pl.BlockSpec((1, c_rows, LANES), lambda i, s: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[spec] * n_planes,
+        out_specs=[spec] * n_planes,
+    )
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _slot_merge_kernel, num_cmp, log_c, log_slot, not interpret,
+            unique,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, c_rows, LANES), p.dtype)
+            for p in planes
+        ],
+        input_output_aliases=alias,
+        compiler_params=params,
+        interpret=interpret,
+    )(jnp.zeros((1,), jnp.int32),
+      *[p.reshape(n_chunks, c_rows, LANES) for p in planes])
+    return [o.reshape(rows, LANES) for o in out]
 
 
 def _cross_pair(lo, hi, up_i, num_cmp):
@@ -268,7 +395,7 @@ def _cross_stage3_kernel(num_cmp, up_ref, *refs):
             o[0, i, 0] = x
 
 
-def _finishw_kernel(num_cmp, log_c, gather, m, scal_ref, *refs):
+def _finishw_kernel(num_cmp, log_c, gather, unique, m, scal_ref, *refs):
     """Fused tail of a merge level over W = 2^m chunks: the last m cross
     exchanges (chunk distances W/2 .. 1) plus all intra-chunk substages for
     every chunk in the block — one read+write of the W-chunk slab instead
@@ -300,7 +427,7 @@ def _finishw_kernel(num_cmp, log_c, gather, m, scal_ref, *refs):
         for dj in range(log_c - 1, -1, -1):
             planes = _substage(
                 planes, dj, up, flat, num_cmp,
-                axis=0 if dj >= 7 else 1, gather=gather,
+                axis=0 if dj >= 7 else 1, gather=gather, unique=unique,
             )
         for o, x in zip(out_refs, planes):
             o[0, h, 0] = x
@@ -472,7 +599,7 @@ def merge_valley_ascending(planes, chunk_rows, num_cmp, interpret=False,
 
 
 def sort_planes(planes, chunk_rows, num_cmp, interpret=False,
-                descending=False):
+                descending=False, unique=True):
     """Sort i32 planes (each shape (rows, 128)) ascending by planes[0]
     (then planes[1] if num_cmp == 2) in flat row-major order —
     or descending (`descending=True`): every network direction bit is
@@ -487,11 +614,12 @@ def sort_planes(planes, chunk_rows, num_cmp, interpret=False,
     """
     return _sort_pipeline(
         planes, chunk_rows, num_cmp, interpret, presorted=False,
-        invert=descending,
+        invert=descending, unique=unique,
     )
 
 
-def sort_chunks_ascending(planes, chunk_rows, num_cmp, interpret=False):
+def sort_chunks_ascending(planes, chunk_rows, num_cmp, interpret=False,
+                          unique=True):
     """Sort every chunk of chunk_rows*128 elements ascending, independently
     (no cross-chunk merging).  The MSD engine's phase-1 local sort and
     phase-C bucket sort: one compiled kernel serves both roles."""
@@ -515,7 +643,8 @@ def sort_chunks_ascending(planes, chunk_rows, num_cmp, interpret=False):
     )
     out = pl.pallas_call(
         functools.partial(
-            _chunk_sort_kernel, num_cmp, log_c, not interpret, True, 0
+            _chunk_sort_kernel, num_cmp, log_c, not interpret, True, 0,
+            unique,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -531,7 +660,8 @@ def sort_chunks_ascending(planes, chunk_rows, num_cmp, interpret=False):
 
 
 def sort_chunks_ascending_cyclic(
-    planes, chunk_rows, num_cmp, t_rows: int = 8, interpret=False
+    planes, chunk_rows, num_cmp, t_rows: int = 8, interpret=False,
+    unique=True,
 ):
     """Like sort_chunks_ascending, but chunk c is the *block-cyclic* tile set
     {tile g*n_chunks + c} of t_rows-row tiles rather than a contiguous slab.
@@ -563,7 +693,7 @@ def sort_chunks_ascending_cyclic(
     )
     out = pl.pallas_call(
         functools.partial(
-            _chunk_sort_cyclic_kernel, num_cmp, log_c, not interpret
+            _chunk_sort_cyclic_kernel, num_cmp, log_c, not interpret, unique
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -579,7 +709,7 @@ def sort_chunks_ascending_cyclic(
 
 def _sort_pipeline(
     planes, chunk_rows, num_cmp, interpret, presorted,
-    presorted_log=None, invert=False, finish_width=None,
+    presorted_log=None, invert=False, finish_width=None, unique=True,
 ):
     if finish_width is None:
         finish_width = FINISH_WIDTH
@@ -638,7 +768,7 @@ def _sort_pipeline(
         planes = chunked_call(
             functools.partial(
                 _chunk_sort_kernel, num_cmp, log_c, not interpret, False,
-                int(invert),
+                int(invert), unique,
             ),
             zero,
         )
@@ -682,7 +812,7 @@ def _sort_pipeline(
         """One fused finish pass over W = 2^m chunks at level kk."""
         w = 1 << m
         kern = functools.partial(
-            _finishw_kernel, num_cmp, log_c, not interpret, m
+            _finishw_kernel, num_cmp, log_c, not interpret, unique, m
         )
         spec = pl.BlockSpec(
             (1, w, 1, c_rows, LANES), lambda a, s: (a, 0, 0, 0, 0)

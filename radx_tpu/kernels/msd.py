@@ -386,16 +386,23 @@ def sort_msd(planes, chunk_rows, num_cmp, interpret=False, n_valid=None):
     cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(bucket_tot)]
     ).astype(jnp.int32)
-    # K-window check: every output block must overlap <= _K buckets
+    # K-window check: the concat kernel scans buckets b0[j] .. b0[j]+K-1;
+    # every NONEMPTY bucket intersecting block j must fall in that window.
+    # Empty buckets (lo == hi, e.g. the nb_pad tail when n_valid < total)
+    # are harmless to visit (garbage stores are overwritten or masked past
+    # n_valid) and must not count as required.
     blk = jnp.arange(n_chunks, dtype=jnp.int32)[:, None] * C  # block starts
     inter = (cum[None, :-1] < blk + C) & (cum[None, 1:] > blk)
-    overflow = (jnp.max(counts) > slot) | (
-        jnp.max(jnp.sum(inter.astype(jnp.int32), axis=1)) > _K
-    )
+    nonempty = (cum[None, 1:] > cum[None, :-1]) & inter
+    b_idx = jnp.arange(p.nb_pad, dtype=jnp.int32)[None, :]
+    last_needed = jnp.max(jnp.where(nonempty, b_idx + 1, 0), axis=1)
     b0 = jnp.clip(
         jnp.sum((cum[None, 1:] <= blk).astype(jnp.int32), axis=1),
         0,
         p.nb_pad - _K,
+    )
+    overflow = (jnp.max(counts) > slot) | (
+        jnp.max(last_needed - b0) > _K
     )
     b0b = jnp.clip(b0 // _K, 0, p.nb_pad // _K - 2)
 

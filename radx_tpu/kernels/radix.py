@@ -9,9 +9,12 @@ one-hot matmuls on the MXU**: a 256-bin histogram is the 16x16 outer
 contraction of hi-nibble and lo-nibble one-hots — 32 VPU compares per key
 and a (16,1024)x(1024,16) matmul, instead of 256 VPU compares.
 
-Callers: the oracle-parity tests (tests/test_radix_kernels.py) and the
-measurement probes (tools/probe_radix_prims.py) — the same role
-counting/partition play for the reference's scattering stage.
+Callers: the radix distribution sort (kernels/radix_sort.py), where
+`chunk_histograms` + `scan_bases` drive the skew-aware splitter selection
+(the counting → partition stages feeding the scatter, exactly the role
+counting/partition play for the reference's scattering stage), plus the
+oracle-parity tests (tests/test_radix_kernels.py) and the measurement
+probes (tools/probe_radix_prims.py).
 
 The digit shift is a scalar-prefetch runtime input, so ONE compiled kernel
 serves all four 8-bit passes (the reference forks per digit via push
@@ -25,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -95,6 +99,92 @@ def tile_histograms(keys, shift, tile_rows: int = 8, interpret: bool = False):
         interpret=interpret,
     )(scalars, x)
     return out.reshape(ntiles, 256)
+
+
+def _chunk_hist_kernel(c_rows, scalar_ref, x_ref, out_ref):
+    """Per-chunk 256-bin histogram of the top byte of (x ^ bias).
+
+    scalar_ref: [shift, n, bias].  Row-major over the chunk; a fori_loop
+    over 8-row groups keeps the program size bounded (tile_histograms
+    unrolls its rows — fine at tile_rows<=16, hopeless at c_rows=2048).
+    """
+    shift = scalar_ref[0]
+    n = scalar_ref[1]
+    bias = scalar_ref[2]
+    t = pl.program_id(0)
+    e = c_rows * LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    nib = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+    one, zero = jnp.float32(1), jnp.float32(0)
+
+    def body(g, hist16):
+        x = x_ref[0, pl.ds(g * 8, 8)]  # (8, 128) i32
+        digits = jax.lax.shift_right_logical(x ^ bias, shift) & 0xFF
+        hi = digits >> 4
+        lo = digits & 15
+        valid = (t * e + (g * 8 + rowi) * LANES + lane) < n
+        for r in range(8):
+            eq_hi = jnp.where(
+                valid[r : r + 1, :] & (hi[r : r + 1, :] == nib), one, zero
+            )
+            eq_lo = jnp.where(lo[r : r + 1, :] == nib, one, zero)
+            hist16 += jax.lax.dot_general(
+                eq_hi,
+                eq_lo,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return hist16
+
+    hist16 = jax.lax.fori_loop(
+        0, c_rows // 8, body, jnp.zeros((16, 16), jnp.float32)
+    )
+    out_ref[0] = hist16.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_rows", "bias", "interpret")
+)
+def chunk_histograms(x, shift, c_rows: int, n=None, bias: int = 0,
+                     interpret: bool = False):
+    """counts[c, d] = occurrences of digit d = ((x ^ bias) >> shift) & 0xFF
+    in chunk c of c_rows*128 row-major elements.
+
+    The production counting stage (counting.comp:50-73) for the radix
+    distribution sort: x is the engine's sign-biased i32 plane, flattened;
+    bias=0x80000000 recovers original-uint32 digit order (i32 order of the
+    biased plane == u32 order of ``bits ^ 0x80000000``).  c_rows must be a
+    multiple of 8; x length a multiple of c_rows*128.  n masks the valid
+    prefix (defaults to all).  Returns (n_chunks, 256) int32.
+    """
+    total = x.shape[0]
+    e = c_rows * LANES
+    assert total % e == 0 and c_rows % 8 == 0, (total, c_rows)
+    n_chunks = total // e
+    if n is None:
+        n = total
+    x3 = x.astype(jnp.int32).reshape(n_chunks, c_rows, LANES)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(shift, jnp.int32),
+            jnp.asarray(n, jnp.int32),
+            jnp.asarray(np.int32(np.uint32(bias))),
+        ]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((1, c_rows, LANES), lambda i, s: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, 16, 16), lambda i, s: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_chunk_hist_kernel, c_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 16, 16), jnp.int32),
+        interpret=interpret,
+    )(scalars, x3)
+    return out.reshape(n_chunks, 256)
 
 
 def scan_bases(counts):

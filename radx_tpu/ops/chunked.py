@@ -101,6 +101,91 @@ def groupby_chunked(
     return groupby_chunked(merged_k, merged_v, merge_agg, cfg, slab)
 
 
+def sort_chunked(keys, cfg: SortConfig | None = None, slab: int = _SLAB):
+    """Out-of-core ascending sort of host-resident uint32 keys.
+
+    Sizes beyond one device call (2^30 keys = 4 GB + working planes on a
+    16 GB-HBM chip) stream through the device twice-ish: each pow2 slab is
+    sorted on-device in the bitonic-run direction its merge position needs
+    (even ascending, odd descending — zero flip passes), then a pairwise
+    device merge tree (kernels/bitonic.merge_sorted_runs, O(L·log n_slabs)
+    work) folds runs until one ascending sequence remains.  Host RAM holds
+    the runs between levels; sentinel padding (key 0xFFFFFFFF) fills the
+    pow2 tail and is stripped from the result.
+
+    Closes the top of the 1M–1B parity range (BASELINE north star;
+    the reference's maxElementCount contract, radx_internal.hpp:115-119).
+    """
+    from radx_tpu.config import LANES, resolve_interpret
+    from radx_tpu.kernels import bitonic
+
+    cfg = cfg or tuned()
+    keys = np.asarray(keys)
+    if keys.dtype != np.uint32:
+        raise TypeError("sort_chunked keys must be uint32")
+    n = keys.shape[0]
+    if slab & (slab - 1):
+        raise ValueError("slab must be a power of two")
+    if n <= slab:
+        from radx_tpu.ops import sort as sort_ops
+
+        return np.asarray(jax.device_get(sort_ops.sort(jnp.asarray(keys), cfg)))
+
+    interpret = resolve_interpret(cfg)
+    chunk_rows = cfg.chunk_rows
+    n_slabs = 1 << (-(-n // slab) - 1).bit_length()
+    log_slab = slab.bit_length() - 1
+
+    @jax.jit
+    def _slab_sort_asc(p):
+        return bitonic.sort_planes(
+            [p], chunk_rows, 1, interpret=interpret
+        )[0]
+
+    @jax.jit
+    def _slab_sort_desc(p):
+        return bitonic.sort_planes(
+            [p], chunk_rows, 1, interpret=interpret, descending=True
+        )[0]
+
+    def _merge(a, b, log_run, desc):
+        @jax.jit
+        def run(pa, pb):
+            plane = jnp.concatenate([pa, pb], axis=0)
+            return bitonic.merge_sorted_runs(
+                [plane], log_run, 1, chunk_rows,
+                descending=desc, interpret=interpret,
+            )[0]
+
+        return np.asarray(
+            jax.device_get(run(jnp.asarray(a), jnp.asarray(b)))
+        )
+
+    # slab sorts, alternating directions (host keeps biased i32 planes)
+    runs = []
+    for i in range(n_slabs):
+        lo = i * slab
+        buf = np.full((slab,), 0x7FFFFFFF, np.int32)
+        if lo < n:
+            seg = keys[lo : min(lo + slab, n)]
+            buf[: seg.shape[0]] = (seg ^ np.uint32(0x80000000)).view(np.int32)
+        plane = jnp.asarray(buf.reshape(-1, LANES))
+        out = _slab_sort_asc(plane) if i % 2 == 0 else _slab_sort_desc(plane)
+        runs.append(np.asarray(jax.device_get(out)))
+        del plane, out
+
+    # pairwise device merge tree; output run j must be ascending iff j even
+    log_run = log_slab
+    while len(runs) > 1:
+        runs = [
+            _merge(runs[j], runs[j + 1], log_run, desc=bool((j // 2) & 1))
+            for j in range(0, len(runs), 2)
+        ]
+        log_run += 1
+    out = runs[0].reshape(-1)[:n]
+    return out.view(np.uint32) ^ np.uint32(0x80000000)
+
+
 def _host_merge(keys, vals, agg):
     order = np.argsort(keys, kind="stable")
     k, v = keys[order], vals[order]

@@ -26,27 +26,48 @@ from radx_tpu.kernels import segscan
 from radx_tpu.ops import sort as sort_ops
 
 
+_NEUTRAL = {
+    # i32 bit patterns of each aggregation's neutral element per value dtype
+    ("sum", "uint32"): 0, ("sum", "int32"): 0, ("sum", "float32"): 0,
+    ("count", "uint32"): 0, ("count", "int32"): 0, ("count", "float32"): 0,
+    ("min", "uint32"): -1,  # 0xFFFFFFFF
+    ("min", "int32"): 0x7FFFFFFF,
+    ("min", "float32"): 0x7F800000,  # +inf
+    ("max", "uint32"): 0,
+    ("max", "int32"): -0x80000000,
+    ("max", "float32"): -0x00800000,  # 0xFF800000 = -inf
+}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "agg"))
 def _groupby_jit(keys, values, cfg: SortConfig, agg: str):
     """Sort-based aggregation with a single-pass Pallas segmented scan.
+
+    Aggregation is commutative, so grouping needs no stability: the sort is
+    the 2-plane unstable (key, rider) pipeline (ops/sort._sort_rider_jit)
+    — ~1.5x cheaper in exchange work than the stable 3-plane (key, iota,
+    value) sort the engine used through round 3.  Pads carry key
+    0xFFFFFFFF with the aggregation's neutral element, so the real max-key
+    group aggregates exactly; the phantom all-pad group (present only when
+    no real key is 0xFFFFFFFF) is dropped from num_groups.
 
     No scatter-adds: jax.ops.segment_* lower to XLA scatter, which is
     pathologically slow on TPU at 10^8+ rows (same class as the
     searchsorted issue documented in ops/join.py).  Because the pairs are
     sorted, each equal-key run is contiguous; kernels/segscan.py reduces
     every run in ONE read+write of the array (the r1 doubling scan burned
-    log2(n) full-array HBM passes and OOM'd at 2^29 — VERDICT weak #7).
+    log2(n) full-array HBM passes and OOM'd at 2^29).
     """
     n = keys.shape[0]
-    skeys, svals = sort_ops._sort_stable_jit(keys, values, cfg, n, True)
-    svals = jax.lax.bitcast_convert_type(svals, values.dtype)
-
     if agg == "count":
-        acc, op = jnp.ones((n,), jnp.int32), "sum"
-    elif agg in ("sum", "min", "max"):
-        acc, op = svals, agg
-    else:  # pragma: no cover
-        raise ValueError(agg)
+        payload, op = jnp.ones((n,), jnp.int32), "sum"
+        acc_dtype = jnp.int32
+    else:
+        payload = jax.lax.bitcast_convert_type(values, jnp.int32)
+        op, acc_dtype = agg, values.dtype
+    neutral = _NEUTRAL[(agg, jnp.dtype(values.dtype).name)]
+    skeys, acc_bits = sort_ops._sort_rider_jit(keys, payload, cfg, n, neutral)
+    acc = jax.lax.bitcast_convert_type(acc_bits, acc_dtype)
 
     acc = segscan.segscan_flat(
         skeys, acc, op, cfg.chunk_rows, resolve_interpret(cfg)
@@ -56,6 +77,9 @@ def _groupby_jit(keys, values, cfg: SortConfig, agg: str):
     is_last = skeys != nxt
     is_last = is_last.at[-1].set(True)
     num_groups = jnp.sum(is_last.astype(jnp.int32))
+    if skeys.shape[0] > n:  # padded: drop the phantom all-pad group
+        has_max = jnp.any(keys == jnp.uint32(0xFFFFFFFF))
+        num_groups = num_groups - jnp.where(has_max, 0, 1)
     return skeys, acc, is_last, num_groups
 
 
@@ -159,10 +183,12 @@ def groupby_dense(keys, values, agg: str = "sum",
 def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):
     """Aggregate `values` per unique uint32 key.
 
-    Returns (unique_keys, aggregates, num_groups): arrays padded to len(keys)
-    — rows beyond num_groups are garbage.  Unique keys are ascending.
-    uint32 sums wrap at 2^32 (like C unsigned arithmetic); float32 sums
-    accumulate in f32 with run-doubling order (deterministic).
+    Returns (unique_keys, aggregates, num_groups): arrays padded to at
+    least len(keys) (the engine's pow2 padding) — rows beyond num_groups
+    are garbage.  Unique keys are ascending.  uint32 sums wrap at 2^32
+    (like C unsigned arithmetic); float32 sums accumulate in f32 in a
+    deterministic (input-dependent) order — grouping is unstable, so the
+    within-group addition order is not the input order.
     """
     cfg = cfg or tuned()
     keys = jnp.asarray(keys)

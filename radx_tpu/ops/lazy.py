@@ -79,52 +79,68 @@ def filter_lazy(mask, cols, count, cfg: SortConfig, n: int):
 def groupby_lazy(keys, values, count, agg: str, cfg: SortConfig, n: int):
     """Validity-aware sort-based aggregation (see ops/groupby.py for the
     eager algorithm notes). Returns (unique_keys, aggregates, num_groups),
-    padded to n."""
+    padded to n.
+
+    Like the eager path, grouping rides the 2-plane UNSTABLE (key, rider)
+    sort: aggregation is commutative, so the validity tie plane is not
+    needed — invalid rows get key 0xFFFFFFFF with the aggregation's
+    neutral element as rider, merge into the real max-key group without
+    perturbing its aggregate, and the phantom all-invalid group (only when
+    no valid key is 0xFFFFFFFF and invalid rows exist) is dropped from
+    num_groups."""
+    from radx_tpu.ops.groupby import _NEUTRAL
+
     total = _total(n)
-    kb, tie = _valid_key_tie(keys, count, n)
-    planes = [
-        _plane(kb, _I32_MAX, total),
-        _plane(tie, _I32_MAX, total),
-        _plane(jax.lax.bitcast_convert_type(values, jnp.int32), 0, total),
-    ]
-    outs = bitonic.sort_planes(
-        planes, cfg.stable_chunk_rows, num_cmp=2,
-        interpret=resolve_interpret(cfg),
-    )
-    skb = outs[0].reshape(-1)[:n]
-    svals = jax.lax.bitcast_convert_type(
-        outs[2].reshape(-1)[:n], values.dtype
-    )
-    skeys = jax.lax.bitcast_convert_type(skb, jnp.uint32) ^ _SIGN
-
-    if agg == "count":
-        acc, op = jnp.ones((n,), jnp.int32), "sum"
-    elif agg in ("sum", "min", "max"):
-        acc, op = svals, agg
-    else:  # pragma: no cover - validated by caller
-        raise ValueError(agg)
-
-    # one-pass Pallas segmented scan (kernels/segscan.py); invalid rows sit
-    # at pos >= count (sorted after every valid row) and only ever *read*
-    # from valid rows, never feed them
-    acc = segscan.segscan_flat(
-        skeys, acc, op, cfg.stable_chunk_rows, resolve_interpret(cfg)
-    )
-
     pos = jax.lax.iota(jnp.int32, n)
-    nxt = jnp.concatenate([skeys[1:], skeys[:1]])
-    is_last = ((skeys != nxt) | (pos == count - 1)) & (pos < count)
-    num_groups = jnp.sum(is_last.astype(jnp.int32))
+    valid = pos < count
+    kb = jnp.where(
+        valid, (keys ^ _SIGN).astype(jnp.int32), jnp.int32(_I32_MAX)
+    )
+    if agg == "count":
+        payload, op = valid.astype(jnp.int32), "sum"
+        acc_dtype = jnp.int32
+        neutral = 0
+    else:
+        neutral = _NEUTRAL[(agg, jnp.dtype(values.dtype).name)]
+        payload = jnp.where(
+            valid,
+            jax.lax.bitcast_convert_type(values, jnp.int32),
+            jnp.int32(neutral),
+        )
+        op, acc_dtype = agg, values.dtype
+    planes = [_plane(kb, _I32_MAX, total), _plane(payload, neutral, total)]
+    outs = bitonic.sort_planes(
+        planes, cfg.chunk_rows, num_cmp=1,
+        interpret=resolve_interpret(cfg), unique=False,
+    )
+    skb = outs[0].reshape(-1)
+    skeys = jax.lax.bitcast_convert_type(skb, jnp.uint32) ^ _SIGN
+    acc = jax.lax.bitcast_convert_type(outs[1].reshape(-1), acc_dtype)
+
+    # one-pass Pallas segmented scan (kernels/segscan.py); neutral riders
+    # on invalid rows cannot perturb any group's aggregate
+    acc = segscan.segscan_flat(
+        skeys, acc, op, cfg.chunk_rows, resolve_interpret(cfg)
+    )
+
+    nxt = jnp.concatenate([skeys[1:], skeys[:1] ^ jnp.uint32(1)])
+    is_last = skeys != nxt
+    is_last = is_last.at[-1].set(True)
+    has_max = jnp.any(valid & (keys == jnp.uint32(0xFFFFFFFF)))
+    phantom = (count < total) & jnp.logical_not(has_max)
+    num_groups = jnp.sum(is_last.astype(jnp.int32)) - jnp.where(
+        phantom, 1, 0
+    )
     (uk, out), _ = _compact_jit(
         is_last.astype(jnp.int32),
         (jax.lax.bitcast_convert_type(skeys, jnp.int32),
          jax.lax.bitcast_convert_type(acc, jnp.int32)),
-        cfg, n,
+        cfg, total,
     )
     out_dtype = jnp.int32 if agg == "count" else values.dtype
     return (
-        jax.lax.bitcast_convert_type(uk, jnp.uint32),
-        jax.lax.bitcast_convert_type(out, out_dtype),
+        jax.lax.bitcast_convert_type(uk[:n], jnp.uint32),
+        jax.lax.bitcast_convert_type(out[:n], out_dtype),
         num_groups,
     )
 
@@ -227,6 +243,92 @@ def join_lazy(build_keys, build_vals, bcount, probe_keys, probe_vals,
         jax.lax.bitcast_convert_type(b_out, build_vals.dtype),
         jax.lax.bitcast_convert_type(p_out, probe_vals.dtype),
         count,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nb", "np_", "max_matches"))
+def join_multi_lazy(build_keys, build_vals, bcount, probe_keys, probe_vals,
+                    pcount, cfg: SortConfig, nb: int, np_: int,
+                    max_matches: int):
+    """Validity-aware bounded multi-match join (ops/join._join_multi_jit
+    with traced row counts) — the lazy counterpart of
+    Table.join(max_matches > 1).  Gather-free: tagged union sort, one
+    segmented rank pass, ONE multi-plane forward-fill pass, then a single
+    compaction of the (row, rank) expansion.
+
+    Returns (keys, build_vals, probe_vals, count, truncated) padded to
+    (nb + np_) * max_matches; `truncated` is a traced bool — True when a
+    VALID build key has more than max_matches valid build rows (the extra
+    matches were dropped; callers check it at collect time)."""
+    from radx_tpu.kernels import segscan as segscan_mod
+
+    n = nb + np_
+    M = max_matches
+    total = _total(n)
+    keys = jnp.concatenate([build_keys, probe_keys])
+    tie = jnp.concatenate(
+        [
+            jax.lax.iota(jnp.int32, nb),
+            jax.lax.iota(jnp.int32, np_) + jnp.int32(1 << 30),
+        ]
+    )
+    bvals = jnp.concatenate([build_vals, jnp.zeros((np_,), build_vals.dtype)])
+    pvals = jnp.concatenate([jnp.zeros((nb,), probe_vals.dtype), probe_vals])
+    planes = [
+        _plane((keys ^ _SIGN).astype(jnp.int32), _I32_MAX, total),
+        _plane(tie, _I32_MAX, total),
+        _plane(jax.lax.bitcast_convert_type(bvals, jnp.int32), 0, total),
+        _plane(jax.lax.bitcast_convert_type(pvals, jnp.int32), 0, total),
+    ]
+    outs = bitonic.sort_planes(
+        planes, cfg.stable_chunk_rows, num_cmp=2,
+        interpret=resolve_interpret(cfg),
+    )
+    skey = outs[0].reshape(-1)[:n]
+    stie = outs[1].reshape(-1)[:n]
+    sbval = outs[2].reshape(-1)[:n]
+    spval = outs[3].reshape(-1)[:n]
+    is_build = stie < bcount  # valid build rows only (tie < nb <= 2^30)
+
+    interp = resolve_interpret(cfg)
+    cnt = segscan_mod.segscan_flat(
+        skey, is_build.astype(jnp.int32), "sum", cfg.stable_chunk_rows,
+        interp,
+    )
+    rank = cnt - is_build.astype(jnp.int32)  # exclusive build rank
+
+    hjs = [is_build & (rank == j) for j in range(M)]
+    fjs = [jnp.where(hj, sbval, jnp.zeros((), sbval.dtype)) for hj in hjs]
+    fills, hass = segscan_mod.segscan_flat(
+        skey, fjs, "fill", cfg.stable_chunk_rows, interp, has=hjs
+    )
+
+    is_probe = (stie >= (1 << 30)) & ((stie - (1 << 30)) < pcount)
+    valid = jnp.stack([is_probe & (j < rank) & hass[j] for j in range(M)])
+    truncated = jnp.any(is_build & (rank >= M))
+    skey_u32 = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ _SIGN
+
+    # expand (row, rank) pairs in key-sorted, rank-adjacent order and
+    # compact the valid ones — same layout as Table.join(max_matches>1)
+    flat_valid = valid.T.reshape(-1)
+    (k_out, p_out, b_out), count = _compact_jit(
+        flat_valid.astype(jnp.int32),
+        (
+            jnp.broadcast_to(
+                jax.lax.bitcast_convert_type(skey_u32, jnp.int32)[:, None],
+                (n, M),
+            ).reshape(-1),
+            jnp.broadcast_to(spval[:, None], (n, M)).reshape(-1),
+            jnp.stack(fills).T.reshape(-1),
+        ),
+        cfg, n * M,
+    )
+    return (
+        jax.lax.bitcast_convert_type(k_out[: n * M], jnp.uint32),
+        jax.lax.bitcast_convert_type(b_out[: n * M], build_vals.dtype),
+        jax.lax.bitcast_convert_type(p_out[: n * M], probe_vals.dtype),
+        count,
+        truncated,
     )
 
 
@@ -345,6 +447,25 @@ class LazyTable:
         )
         return LazyTable(
             {on: k, value: pv, other_value: bv}, count, self.cfg
+        )
+
+    def join_multi(self, other: "LazyTable", on: str, value: str,
+                   other_value: str, max_matches: int = 4):
+        """Inner join keeping up to max_matches build rows per key (the
+        lazy counterpart of Table.join(max_matches > 1)).  Returns
+        (LazyTable, truncated): `truncated` is a TRACED bool — True when a
+        build key had more than max_matches rows (extra matches dropped).
+        Check it at collect time; raising here would force a host sync."""
+        if max_matches < 1:
+            raise ValueError("max_matches must be >= 1")
+        k, bv, pv, count, truncated = join_multi_lazy(
+            other.columns[on], other.columns[other_value], other.count,
+            self.columns[on], self.columns[value], self.count,
+            self.cfg, other.padded_rows, self.padded_rows, max_matches,
+        )
+        return (
+            LazyTable({on: k, value: pv, other_value: bv}, count, self.cfg),
+            truncated,
         )
 
     def sort_by(self, key: str, descending: bool = False) -> "LazyTable":

@@ -25,42 +25,50 @@ import jax.numpy as jnp
 import numpy as np
 
 from radx_tpu.config import LANES, SortConfig, resolve_interpret, tuned
-from radx_tpu.kernels import bitonic, msd
+from radx_tpu.kernels import bitonic, radix_sort
 
 _SIGN = np.uint32(0x80000000)
 _PAD_KEY = np.int32(0x7FFFFFFF)  # sign-biased 0xFFFFFFFF: sorts to the end
 
 
-def _engine(planes, cfg: SortConfig, num_cmp: int, n: int):
+def _engine(planes, cfg: SortConfig, num_cmp: int, n: int,
+            unique: bool = True):
     """Dispatch i32 planes to the configured Pallas engine (not "lax").
 
-    strategy="radix" runs the MSD split sort (kernels/msd.py — the
-    reference's counting/partition/scattering pipeline re-cast at chunk
-    granularity, radx_implement.inl:421-447) and falls back to the bitonic
-    network under lax.cond when the sample splitters overflow (adversarial
+    strategy="radix" runs the radix distribution sort
+    (kernels/radix_sort.py — the reference's counting → partition →
+    scattering pipeline, radx_implement.inl:421-447, as histogram-driven
+    splitters + slot-packed scatter + per-bucket merges) and falls back to
+    the bitonic network under lax.cond when a slot overflows (adversarial
     duplicate skew) — so the dispatch stays fully jittable and total.
+    The chunk height grows with N to keep the pack slots above their
+    floor (radix_sort.pick_chunk_rows).
     """
     interpret = resolve_interpret(cfg)
     chunk_rows = cfg.chunk_rows if num_cmp == 1 else cfg.stable_chunk_rows
     if cfg.strategy == "radix":
         total = planes[0].shape[0] * LANES
-        if msd.plan(total, chunk_rows) is not None:
-            outs, overflow = msd.sort_msd(
-                planes, chunk_rows, num_cmp,
-                interpret=interpret, n_valid=n,
+        r_rows = radix_sort.pick_chunk_rows(total, chunk_rows)
+        if radix_sort.plan(total, r_rows) is not None:
+            outs, overflow = radix_sort.sort_radix(
+                planes, r_rows, num_cmp,
+                interpret=interpret, n_valid=n, unique=unique,
             )
             return jax.lax.cond(
                 overflow,
                 lambda ps: tuple(
                     bitonic.sort_planes(
-                        list(ps), chunk_rows, num_cmp, interpret=interpret
+                        list(ps), chunk_rows, num_cmp, interpret=interpret,
+                        unique=unique,
                     )
                 ),
                 lambda ps: tuple(outs),
                 tuple(planes),
             )
     return tuple(
-        bitonic.sort_planes(planes, chunk_rows, num_cmp, interpret=interpret)
+        bitonic.sort_planes(
+            planes, chunk_rows, num_cmp, interpret=interpret, unique=unique
+        )
     )
 
 
@@ -112,6 +120,41 @@ def _sort_stable_jit(keys, payload, cfg: SortConfig, n: int, with_payload):
     if with_payload:
         return sorted_keys, outs[2][:n]
     return sorted_keys, perm
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n", "neutral"))
+def _sort_rider_jit(keys, payload_bits, cfg: SortConfig, n: int, neutral: int):
+    """Unstable (key, rider) sort over the FULL padded array — 2 planes,
+    num_cmp=1: the fast path for commutative consumers (aggregation),
+    which need grouping but not stability, so the iota tiebreak plane of
+    `_sort_stable_jit` is pure overhead (~1.5x the exchange work).
+
+    Pads carry key 0xFFFFFFFF — they sort INTO the real max-key group
+    (num_cmp=1 cannot order ties), so pad riders must be the consumer's
+    neutral element (`neutral`, an i32 bit pattern): the max-key group's
+    aggregate then stays exact.  Returns the FULL padded (keys_u32, rider
+    bits) arrays of length _pad_len(n); ops/groupby.py drops the phantom
+    all-pad group when no real key equals 0xFFFFFFFF.
+    """
+    total = _pad_len(n)
+    kp = _key_plane(keys, total)
+    pp = (
+        jnp.full((total,), np.int32(neutral))
+        .at[:n]
+        .set(payload_bits)
+        .reshape(total // LANES, LANES)
+    )
+    if cfg.strategy == "lax":
+        k, p = jax.lax.sort(
+            (kp.reshape(-1), pp.reshape(-1)), num_keys=1
+        )
+    else:
+        # n_valid=total: pads are REAL rows here (key 0xFFFFFFFF + neutral
+        # rider).  Passing n would let the radix engine's exact-concat
+        # re-sentinel rider fills past n with 0, clobbering the neutral.
+        outs = _engine([kp, pp], cfg, 1, total, unique=False)
+        k, p = outs[0].reshape(-1), outs[1].reshape(-1)
+    return (k.astype(jnp.uint32)) ^ _SIGN, p
 
 
 def _as_u32(keys):
@@ -410,10 +453,46 @@ def sort_multi(keys, payloads, cfg: SortConfig | None = None):
     ]
 
 
-def sort_pairs(keys, payload, cfg: SortConfig | None = None):
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _sort_pairs_unique_jit(keys, payload_bits, cfg: SortConfig, n: int):
+    """2-plane (key, payload) sort, num_cmp=1 — no iota tiebreak plane.
+
+    Contract (caller-asserted): keys are UNIQUE and none equals
+    0xFFFFFFFF.  Uniqueness makes stability vacuous (no ties to order) and
+    the reserved sentinel keeps pad rows strictly after every real row, so
+    the [:n] slice is exact.  ~1.5x less exchange work than the stable
+    3-plane path."""
+    total = _pad_len(n)
+    kp = _key_plane(keys, total)
+    pp = (
+        jnp.zeros((total,), jnp.int32)
+        .at[:n]
+        .set(payload_bits)
+        .reshape(total // LANES, LANES)
+    )
+    if cfg.strategy == "lax":
+        k, v = jax.lax.sort((kp.reshape(-1), pp.reshape(-1)), num_keys=1)
+    else:
+        outs = _engine([kp, pp], cfg, 1, n)
+        k, v = outs[0].reshape(-1), outs[1].reshape(-1)
+    return (k[:n].astype(jnp.uint32)) ^ _SIGN, v[:n]
+
+
+def sort_pairs(keys, payload, cfg: SortConfig | None = None,
+               assume_unique: bool = False):
     """Stable key+payload sort — the capability RadX stubs but never ships
     (indiction/permutation dispatches absent from Radix::command,
-    radx_implement.inl:421-447)."""
+    radx_implement.inl:421-447).
+
+    assume_unique=True: the caller asserts keys are unique and none equals
+    0xFFFFFFFF (the padding sentinel).  The sort then drops the iota
+    tiebreak plane — 2 planes instead of 3 through every exchange
+    (stability is vacuous without ties) — measurably faster on the
+    permutation-style workloads the reference benchmarks
+    (src/test/sort.cpp:348-350 sorts a shuffled 0..N-1 permutation).
+    Violating the contract silently mis-attaches payloads among equal
+    keys / drops the 0xFFFFFFFF row's payload — it is an assertion, not a
+    hint."""
     cfg = cfg or tuned()
     keys = _as_u32(keys)
     payload = jnp.asarray(payload)
@@ -424,7 +503,11 @@ def sort_pairs(keys, payload, cfg: SortConfig | None = None):
     n = keys.shape[0]
     if n <= 1:
         return keys, payload
-    if _use_decomposition(n, cfg):
+    if assume_unique:
+        k, p = _sort_pairs_unique_jit(
+            keys, jax.lax.bitcast_convert_type(payload, jnp.int32), cfg, n
+        )
+    elif _use_decomposition(n, cfg):
         k, p = _sort_arbn_stable_jit(keys, payload, cfg, n, True)
     else:
         k, p = _sort_stable_jit(keys, payload, cfg, n, True)

@@ -35,9 +35,12 @@ def rng():
     return np.random.default_rng(0x5ADF00D)
 
 
-@pytest.fixture(autouse=True, scope="module")
+@pytest.fixture(autouse=True, scope="function")
 def _clear_jax_caches():
-    """Interpret-mode executables are large; without this the full suite
-    exhausts host memory (observed Fatal Python abort ~70% through)."""
+    """Interpret-mode executables are large; accumulated compiler state in
+    one process eventually aborts/segfaults inside XLA:CPU's
+    backend_compile (observed at module scope as a Fatal Python abort on
+    the last test of test_aggregate).  Per-test clearing costs ~15% wall
+    and removes the crash class."""
     yield
     jax.clear_caches()

@@ -65,3 +65,20 @@ def test_groupby_chunked_high_cardinality_host_merge():
     order = np.argsort(keys)
     np.testing.assert_array_equal(uk, keys[order])
     np.testing.assert_array_equal(out, vals[order])
+
+
+def test_sort_chunked_matches_npsort(rng):
+    from radx_tpu.ops.chunked import sort_chunked
+
+    n = 40_000  # several 8192-elem slabs + ragged tail
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    got = sort_chunked(keys, CFG, slab=8192)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_chunked_single_slab(rng):
+    from radx_tpu.ops.chunked import sort_chunked
+
+    keys = rng.integers(0, 2**32, 3000, dtype=np.uint32)
+    got = sort_chunked(keys, CFG, slab=8192)
+    np.testing.assert_array_equal(got, np.sort(keys))

@@ -92,6 +92,76 @@ def test_join_matches_eager_single_match(rng):
     assert rows == want
 
 
+def test_join_multi_matches_eager(rng):
+    dims = Table.from_arrays(
+        key=np.array([1, 1, 1, 2, 5, 5, 9, 12], np.uint32),
+        weight=np.array([10, 11, 12, 20, 50, 51, 90, 120], np.uint32),
+    )
+    facts = Table.from_arrays(
+        key=rng.integers(0, 14, 400).astype(np.uint32),
+        amount=rng.integers(0, 1000, 400).astype(np.uint32),
+    )
+    lt, truncated = facts.lazy(CFG).join_multi(
+        dims.lazy(CFG), on="key", value="amount", other_value="weight",
+        max_matches=4,
+    )
+    assert not bool(truncated)
+    got = lt.collect().to_numpy()
+    want_t = facts.join(
+        dims, on="key", value="amount", other_value="weight",
+        max_matches=4, cfg=CFG,
+    ).to_numpy()
+    got_rows = sorted(zip(got["key"], got["amount"], got["weight"]))
+    want_rows = sorted(zip(want_t["key"], want_t["amount"], want_t["weight"]))
+    assert got_rows == want_rows
+
+
+def test_join_multi_truncation_flag(rng):
+    dims = Table.from_arrays(
+        key=np.full(5, 7, np.uint32),
+        weight=np.arange(5, dtype=np.uint32),
+    )
+    facts = Table.from_arrays(
+        key=np.array([7, 8], np.uint32),
+        amount=np.array([1, 2], np.uint32),
+    )
+    lt, truncated = facts.lazy(CFG).join_multi(
+        dims.lazy(CFG), on="key", value="amount", other_value="weight",
+        max_matches=2,
+    )
+    assert bool(truncated)  # 5 matches > max_matches=2
+    got = lt.collect().to_numpy()
+    # the kept rows are the first 2 build ranks of key 7
+    assert sorted(got["weight"].tolist()) == [0, 1]
+
+
+def test_join_multi_respects_validity(rng):
+    # garbage rows past count must not join: filter first, then join_multi
+    dims = Table.from_arrays(
+        key=np.array([1, 1, 3], np.uint32),
+        weight=np.array([10, 11, 30], np.uint32),
+    )
+    facts = Table.from_arrays(
+        key=np.array([1, 3, 1, 3, 1], np.uint32),
+        amount=np.array([100, 300, 101, 301, 102], np.uint32),
+        keep=np.array([1, 1, 0, 0, 1], np.uint32),
+    )
+    lf = facts.lazy(CFG)
+    kept = lf.filter(np.array([1, 1, 0, 0, 1], bool))
+    lt, truncated = kept.join_multi(
+        dims.lazy(CFG), on="key", value="amount", other_value="weight",
+        max_matches=3,
+    )
+    assert not bool(truncated)
+    got = lt.collect().to_numpy()
+    rows = sorted(zip(got["key"], got["amount"], got["weight"]))
+    want = sorted(
+        [(1, 100, 10), (1, 100, 11), (1, 102, 10), (1, 102, 11),
+         (3, 300, 30)]
+    )
+    assert rows == want
+
+
 def test_sort_by_descending(rng):
     t = _sales(rng, n=1000)
     got = t.lazy(CFG).sort_by("amount", descending=True).collect().to_numpy()

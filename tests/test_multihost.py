@@ -48,7 +48,7 @@ def test_import_does_not_initialize_backend():
     )
 
 
-@pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_two_process_global_sort():
     port = _free_port()
     coord = f"127.0.0.1:{port}"

@@ -145,3 +145,27 @@ def test_merge_sorted_runs(rng, descending):
     if descending:
         want = want[::-1]
     np.testing.assert_array_equal(got, want)
+
+
+def test_sort_pairs_assume_unique(rng):
+    n = 5000
+    keys = rng.permutation(1 << 20)[:n].astype(np.uint32)
+    payload = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+    k, p = sort_mod.sort_pairs(keys, payload, CFG_SMALL, assume_unique=True)
+    order = np.argsort(keys)
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(p), payload[order])
+
+
+def test_sort_pairs_assume_unique_radix(rng):
+    from radx_tpu.config import SortConfig
+
+    cfg = SortConfig(strategy="radix", chunk_rows=64, stable_chunk_rows=64,
+                     interpret=True)
+    n = 64 * 128 * 4
+    keys = rng.permutation(1 << 22)[:n].astype(np.uint32)
+    payload = np.arange(n, dtype=np.int32)
+    k, p = sort_mod.sort_pairs(keys, payload, cfg, assume_unique=True)
+    order = np.argsort(keys)
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(p), payload[order])
