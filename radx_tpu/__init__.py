@@ -7,9 +7,13 @@ RadX Vulkan radix-sort library (/root/reference), re-designed TPU-first:
     kernels.  Two engines behind one API (ops/sort.py): the flagship
     bitonic merge network (static data movement — rolls, lane gathers,
     block exchanges), and the radix distribution sort
-    (strategy="radix", kernels/msd.py) realizing the reference's
-    counting → partition → scattering pipeline at chunk granularity.
-    RadX's subgroup-partitioned ballot ranking
+    (strategy="radix", kernels/radix_sort.py) realizing the reference's
+    counting → partition → scattering pipeline at chunk granularity:
+    per-chunk digit histograms + hierarchical scans (kernels/radix.py,
+    the counting.comp/partition.comp analogues on the MXU) drive
+    skew-aware splitters, the slot-pack kernel scatters runs, and
+    per-bucket VMEM slot-merges finish.  RadX's subgroup-partitioned
+    ballot ranking
     (ballotlib.glsl:112-144) becomes one-hot / nibble-outer-product matmul
     ranking on the MXU in VMEM tiles (kernels/radix.py, kernels/aggregate.py).
   * Relational operators on the same primitives: filter, hash aggregate

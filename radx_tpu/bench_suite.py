@@ -57,7 +57,9 @@ def _pairs_bench(n, name):
     from radx_tpu.kernels import bitonic
     from radx_tpu.utils import time_op
 
-    cfg = SortConfig(chunk_rows=512)  # smaller network: 3-plane compile cost
+    from radx_tpu.config import tuned
+
+    cfg = tuned()  # stable_chunk_rows: the measured 3-plane optimum
     interpret = resolve_interpret(cfg)
     if interpret:
         n = min(n, 1 << 15)
@@ -69,7 +71,8 @@ def _pairs_bench(n, name):
     def op(planes):
         return tuple(
             bitonic.sort_planes(
-                list(planes), cfg.chunk_rows, num_cmp=2, interpret=interpret
+                list(planes), cfg.stable_chunk_rows, num_cmp=2,
+                interpret=interpret,
             )
         )
 

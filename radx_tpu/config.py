@@ -38,12 +38,14 @@ class SortConfig:
       strategy: single-chip sort strategy —
         ``"bitonic"``: flagship Pallas bitonic merge network (static data
         movement; kernels/bitonic.py);
-        ``"radix"``: the radix distribution sort (kernels/radix_sort.py) —
-        the production radix path mirroring the reference's
-        counting/partition/scattering pipeline (histogram-driven splitters
-        + slot-packed scatter + per-bucket merges); falls back to the
-        bitonic network (lax.cond) when the size is unsupported or a slot
-        overflows under adversarial skew;
+        ``"radix"``: the radix distribution sort (kernels/radix_sort.py)
+        mirroring the reference's counting/partition/scattering pipeline
+        (histogram-driven splitters + slot-packed scatter + per-bucket
+        merges); falls back to the bitonic network (lax.cond) when the
+        size is unsupported or a slot overflows under adversarial skew.
+        Measured slower than the bitonic network at every single-chip
+        size (substage conservation — NOTES.md round 4), so it is the
+        algorithmic-parity / skew-analysis path, not the default;
         ``"lax"``: jax.lax.sort fallback — the analogue of RadX's
         lowest-common-denominator "universal" SPIR-V variant.
       chunk_rows: bitonic VMEM chunk height; one chunk = chunk_rows*128
@@ -62,6 +64,10 @@ class SortConfig:
     # time scales with substages x planes, so stable paths use a smaller
     # chunk (more cross/finish stages, all of which share tiny kernels).
     stable_chunk_rows: int = 256
+    # chunk for 2-plane num_cmp=1 rider sorts (groupby's (key, value),
+    # sort_pairs(assume_unique=True)): measured v5e optimum 512
+    # (0.963 G pairs/s vs 0.911 @1024, 2^22 — NOTES.md r4)
+    rider_chunk_rows: int = 512
     interpret: bool | None = None  # None → auto (interpret iff no TPU)
 
     @property
@@ -87,7 +93,8 @@ class SortConfig:
             raise ValueError("tile_rows must be >= 1")
         if self.strategy not in ("bitonic", "radix", "lax"):
             raise ValueError(f"unknown sort strategy {self.strategy!r}")
-        for cr in (self.chunk_rows, self.stable_chunk_rows):
+        for cr in (self.chunk_rows, self.stable_chunk_rows,
+                   self.rider_chunk_rows):
             if cr < 8 or cr & (cr - 1):
                 raise ValueError("chunk rows must be a power of two >= 8")
 
@@ -118,14 +125,21 @@ TUNING: dict[str, dict] = {
     # keeps the multi-plane (stable/pairs) network's Mosaic compile time
     # bounded (compile superlinear in substages × planes) and measured
     # fastest (0.68 G pairs/s at 2^22 vs 0.58 @128 / 0.61 @512).
-    "TPU v5 lite": {"chunk_rows": 1024, "stable_chunk_rows": 256},
-    "TPU v5p": {"chunk_rows": 1024, "stable_chunk_rows": 256},
-    "TPU v5": {"chunk_rows": 1024, "stable_chunk_rows": 256},
-    "TPU v6 lite": {"chunk_rows": 1024, "stable_chunk_rows": 256},
-    "TPU v6": {"chunk_rows": 1024, "stable_chunk_rows": 256},
-    "TPU v4": {"chunk_rows": 1024, "stable_chunk_rows": 256},
+    "TPU v5 lite": {"chunk_rows": 1024, "stable_chunk_rows": 256,
+                    "rider_chunk_rows": 512},
+    "TPU v5p": {"chunk_rows": 1024, "stable_chunk_rows": 256,
+                "rider_chunk_rows": 512},
+    "TPU v5": {"chunk_rows": 1024, "stable_chunk_rows": 256,
+               "rider_chunk_rows": 512},
+    "TPU v6 lite": {"chunk_rows": 1024, "stable_chunk_rows": 256,
+                    "rider_chunk_rows": 512},
+    "TPU v6": {"chunk_rows": 1024, "stable_chunk_rows": 256,
+               "rider_chunk_rows": 512},
+    "TPU v4": {"chunk_rows": 1024, "stable_chunk_rows": 256,
+               "rider_chunk_rows": 512},
     # interpret-mode CI (CPU): tiny chunks keep interpreter wall time sane
-    "cpu": {"chunk_rows": 64, "stable_chunk_rows": 64},
+    "cpu": {"chunk_rows": 64, "stable_chunk_rows": 64,
+            "rider_chunk_rows": 64},
 }
 
 

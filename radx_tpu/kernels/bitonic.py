@@ -849,9 +849,11 @@ def _sort_pipeline(
         # full-array HBM passes per level, bounded by VMEM (finish_width).
         # VMEM-bound the fused width: the finish block is
         # w × c_rows × 128 × 4 B per plane and the kernel keeps ~2 copies
-        # live — w·c_rows > 16384 exceeds the 100 MB scoped-vmem limit
-        # (measured: chunk 2048 × w 16 = 113 MB compile OOM).
-        fw = min(finish_width, max(2, 16384 // c_rows))
+        # live PER PLANE — w·c_rows·n_planes > 16384 exceeds the 100 MB
+        # scoped-vmem limit (measured: chunk 2048 × w 16 1-plane = 113 MB
+        # compile OOM; chunk 1024 × w 16 2-plane = 106.9 MB OOM).
+        fw = min(finish_width, max(2, 16384 // (c_rows * n_planes)))
+        fw = 1 << (fw.bit_length() - 1)  # pow2 floor (m = log2(fw))
         m = min(kk_chunks, _log2(fw))
         # cross distances down to chunk-distance W; everything below is
         # fused into the finish pass.  Greedy fusion: 3 consecutive

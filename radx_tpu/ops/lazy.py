@@ -110,7 +110,7 @@ def groupby_lazy(keys, values, count, agg: str, cfg: SortConfig, n: int):
         op, acc_dtype = agg, values.dtype
     planes = [_plane(kb, _I32_MAX, total), _plane(payload, neutral, total)]
     outs = bitonic.sort_planes(
-        planes, cfg.chunk_rows, num_cmp=1,
+        planes, cfg.rider_chunk_rows, num_cmp=1,
         interpret=resolve_interpret(cfg), unique=False,
     )
     skb = outs[0].reshape(-1)

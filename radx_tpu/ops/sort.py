@@ -5,7 +5,13 @@ command, radx_internal.hpp:104-134): it owns buffer preparation (padding,
 sign-bias, plane packing — the analogue of InputInterface's keys/swap
 descriptor pair) and dispatches to a strategy:
 
-  * "bitonic" (default) — the flagship Pallas network (kernels/bitonic.py).
+  * "bitonic" (default) — the flagship Pallas network (kernels/bitonic.py);
+                          the production single-chip path (NOTES.md r4:
+                          it beats the distribution sort at every size).
+  * "radix"             — the radix distribution sort
+                          (kernels/radix_sort.py): the reference's
+                          counting → partition → scattering pipeline,
+                          kept for algorithmic parity + skew analysis.
   * "lax"               — jax.lax.sort fallback; the analogue of RadX's
                           lowest-common-denominator "universal" SPIR-V
                           variant (radx_shaders.hpp:10,109): correct
@@ -45,7 +51,12 @@ def _engine(planes, cfg: SortConfig, num_cmp: int, n: int,
     floor (radix_sort.pick_chunk_rows).
     """
     interpret = resolve_interpret(cfg)
-    chunk_rows = cfg.chunk_rows if num_cmp == 1 else cfg.stable_chunk_rows
+    if num_cmp > 1:
+        chunk_rows = cfg.stable_chunk_rows
+    elif len(planes) > 1:
+        chunk_rows = cfg.rider_chunk_rows  # 2-plane (key, rider) optimum
+    else:
+        chunk_rows = cfg.chunk_rows
     if cfg.strategy == "radix":
         total = planes[0].shape[0] * LANES
         r_rows = radix_sort.pick_chunk_rows(total, chunk_rows)
