@@ -135,6 +135,24 @@ def arbn_600m():
           f"(target <10%)")
 
 
+def sort_1g():
+    """2^30-key single-chip sort via the out-of-core slab merge tree
+    (ops/chunked.sort_chunked) — the top of the 1M-1B parity range.
+    Input is a shuffled permutation so the O(N) native validator applies
+    (the reference's own fixture trick, src/test/sort.cpp:348-350)."""
+    from radx_tpu import runtime
+    from radx_tpu.ops.chunked import sort_chunked
+
+    n = 1 << 30
+    keys = runtime.gen_permutation(n, seed=9)
+    t0 = time.perf_counter()
+    out = sort_chunked(keys, slab=1 << 28)
+    dt = time.perf_counter() - t0
+    assert runtime.validate_sort(keys, out) == 0, "sort_1g MISMATCH"
+    print(f"sort_1g OK: n={n} wall={dt:.1f}s "
+          f"({n/dt/1e9:.3f} G keys/s incl. host staging over the relay)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "filter_1b"
     globals()[which]()
