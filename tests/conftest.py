@@ -35,6 +35,27 @@ def rng():
     return np.random.default_rng(0x5ADF00D)
 
 
+# --- test tiers -------------------------------------------------------------
+# tests/slow_tests.txt lists node ids measured >= ~4 s in interpret mode
+# (regenerate from `pytest --durations=0` output); they get the `slow`
+# marker so `pytest -m "not slow"` is the fast default tier.  Explicit
+# in-file @pytest.mark.slow marks (multi-process, big-shape) still apply.
+import pathlib
+
+_SLOW_MANIFEST = pathlib.Path(__file__).parent / "slow_tests.txt"
+_SLOW_IDS = frozenset(
+    line.strip()
+    for line in _SLOW_MANIFEST.read_text().splitlines()
+    if line.strip()
+) if _SLOW_MANIFEST.exists() else frozenset()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(autouse=True, scope="function")
 def _clear_jax_caches():
     """Interpret-mode executables are large; accumulated compiler state in
