@@ -68,6 +68,9 @@ class SortConfig:
     # sort_pairs(assume_unique=True)): measured v5e optimum 512
     # (0.963 G pairs/s vs 0.911 @1024, 2^22 — NOTES.md r4)
     rider_chunk_rows: int = 512
+    # chunk for the mask-compaction kernel (kernels/compact.py): one grid
+    # step compacts compact_chunk_rows*128 elements in VMEM
+    compact_chunk_rows: int = 1024
     interpret: bool | None = None  # None → auto (interpret iff no TPU)
 
     @property
@@ -94,7 +97,7 @@ class SortConfig:
         if self.strategy not in ("bitonic", "radix", "lax"):
             raise ValueError(f"unknown sort strategy {self.strategy!r}")
         for cr in (self.chunk_rows, self.stable_chunk_rows,
-                   self.rider_chunk_rows):
+                   self.rider_chunk_rows, self.compact_chunk_rows):
             if cr < 8 or cr & (cr - 1):
                 raise ValueError("chunk rows must be a power of two >= 8")
 
@@ -139,7 +142,7 @@ TUNING: dict[str, dict] = {
                "rider_chunk_rows": 512},
     # interpret-mode CI (CPU): tiny chunks keep interpreter wall time sane
     "cpu": {"chunk_rows": 64, "stable_chunk_rows": 64,
-            "rider_chunk_rows": 64},
+            "rider_chunk_rows": 64, "compact_chunk_rows": 64},
 }
 
 

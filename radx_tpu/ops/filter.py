@@ -1,10 +1,13 @@
 """Filter (predicate → compaction) — BASELINE config 3's first half.
 
 TPU-native design: compaction is a *stable partition*, i.e. a 1-bit radix
-pass — exactly the degenerate case of the sort engine (a predicate is a
-1-bit digit).  We run the bitonic pipeline keyed on (1 - mask) with the
-original index as tiebreak, which moves kept rows to the front in original
-order with no scatter.  The reference has no relational layer at all; this
+pass — the degenerate case of the reference's per-digit rank-and-scatter
+(RadX2-SM7-DEV/scattering.comp:125-127).  Through round 3 it ran the
+bitonic pipeline on a composite (dropped-bit, index) key — log²(n)
+compare-exchange substages; round 4 replaced that with the dedicated
+single-pass gather kernel (kernels/compact.py: per-row leftpack + run
+merges + dynamic_update_slice stitch), measured ~4x faster at 2^22 and
+flat in mask density.  The reference has no relational layer at all; this
 is the "filter" operator demanded by BASELINE.json.
 """
 
@@ -16,45 +19,27 @@ import jax
 import jax.numpy as jnp
 
 from radx_tpu.config import LANES, SortConfig, resolve_interpret, tuned
-from radx_tpu.kernels import bitonic
-
-
-def _pad_total(n: int) -> int:
-    return 1 << (max(n, 1024) - 1).bit_length()
+from radx_tpu.kernels import compact
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n"))
 def _compact_jit(mask, cols, cfg: SortConfig, n: int):
-    total = _pad_total(n)
+    """Stable compaction of i32-bitcastable columns by a 0/1 mask.
 
-    # Composite sort key (one plane instead of notmask+index planes, and the
-    # keys are unique so num_cmp=1 suffices — halves memory and compare
-    # cost, which matters at the 1B-row BASELINE config):
-    #   bit 30 = "dropped", bits 0..29 = original index → kept rows first,
-    #   each side in original order; padding gets bit 31 region (sorts last).
-    notmask = 1 - mask.astype(jnp.int32)
-    composite = (notmask << 30) | jax.lax.iota(jnp.int32, n)
-    key_plane = (
-        jnp.full((total,), jnp.int32(0x7FFFFFFF))
-        .at[:n]
-        .set(composite)
-        .reshape(total // LANES, LANES)
-    )
+    Returns ([i32 columns with kept rows first in original order], count);
+    rows past `count` are garbage (static shapes — XLA cannot return
+    data-dependent sizes).
+    """
+    rows_needed = max(8, 1 << (max(-(-n // LANES), 1) - 1).bit_length())
+    c_rows = min(cfg.compact_chunk_rows, rows_needed)
     col_planes = [
-        jax.lax.bitcast_convert_type(
-            jnp.zeros((total,), c.dtype).at[:n].set(c), jnp.int32
-        ).reshape(total // LANES, LANES)
-        for c in cols
+        jax.lax.bitcast_convert_type(c, jnp.int32) for c in cols
     ]
-    outs = bitonic.sort_planes(
-        [key_plane] + col_planes,
-        cfg.stable_chunk_rows,
-        num_cmp=1,
+    outs, count = compact.compact_flat(
+        mask.astype(jnp.int32), col_planes, c_rows,
         interpret=resolve_interpret(cfg),
     )
-    count = jnp.sum(mask.astype(jnp.int32))
-    compacted = [o.reshape(-1)[:n] for o in outs[1:]]
-    return compacted, count
+    return outs, count
 
 
 def filter_columns(mask, cols, cfg: SortConfig | None = None):
