@@ -67,3 +67,50 @@ def allgather_result(x):
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _collective_timeout_s(n_keys: int, n_devices: int) -> float:
+    """Deadline for one distributed sort step: a generous multiple of the
+    worst-case single-chip rate (0.1 G keys/s covers interpret-mode CI and
+    cold caches) plus a fixed floor for bring-up and DCN latency."""
+    per_device = max(n_keys // max(n_devices, 1), 1)
+    return 60.0 + per_device / 0.1e9 * 20.0
+
+
+def sort_sharded_guarded(
+    keys,
+    mesh: Mesh,
+    *,
+    capacity: float | None = None,
+    cfg=None,
+    timeout_s: float | None = None,
+    retries: int = 2,
+    on_retry=None,
+):
+    """`dist_sort.sort_sharded` under the failure-detection guard — the
+    production multi-host entry (SURVEY §5 failure detection; the
+    anti-pattern being replaced is the reference's ignored VkResult,
+    radx_implement.inl:446).
+
+    The exchange's ppermute waves block on every peer; a dead or wedged
+    peer turns the step into an indefinite hang (XLA offers no abort), so
+    the step runs under `utils.guard.retry_deterministic`: a deadline
+    sized to the workload, then up to `retries` re-dispatches.  The sort
+    is a pure function of `keys`, so a retry is bit-identical recovery.
+    `on_retry(attempt, exc)` must re-initialize the distributed runtime
+    when the failure was a DeviceTimeout (see guard.retry_deterministic).
+    """
+    from radx_tpu.parallel import dist_sort
+    from radx_tpu.utils import guard
+
+    if timeout_s is None:
+        timeout_s = _collective_timeout_s(keys.shape[0], mesh.devices.size)
+
+    def step():
+        if capacity is None:
+            return dist_sort.sort_sharded(keys, mesh, cfg=cfg)
+        return dist_sort.sort_sharded(keys, mesh, capacity=capacity, cfg=cfg)
+
+    return guard.retry_deterministic(
+        step, retries=retries, timeout_s=timeout_s, on_retry=on_retry
+    )

@@ -74,6 +74,22 @@ def test_multi_chunk_stitch(rng):
     _check(mask, [np.arange(n, dtype=np.int32)], c_rows)
 
 
+def test_multi_chunk_stitch_scalar_levels_empty_first(rng):
+    # r4 advice: combine multi-chunk stitching WITH the scalar merge levels
+    # (c_rows >= 16) and make the FIRST chunk entirely empty, so the stitch
+    # writes chunk 1's prefix at offset 0 over chunk 0's garbage.
+    c_rows, n_chunks = 16, 4
+    n = c_rows * 128 * n_chunks
+    mask = np.zeros(n, np.int32)
+    dens = [0.0, 0.7, 0.0, 0.4]
+    for c in range(n_chunks):
+        s = c * c_rows * 128
+        mask[s : s + c_rows * 128] = (
+            rng.random(c_rows * 128) < dens[c]
+        ).astype(np.int32)
+    _check(mask, [np.arange(n, dtype=np.int32)], c_rows)
+
+
 def test_ragged_n_pads_dropped(rng):
     # n not a chunk multiple: the pad tail is masked out and never kept.
     c_rows = 8

@@ -70,6 +70,44 @@ def test_retry_deterministic_recovers_and_is_exact():
     np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
 
 
+def test_guarded_multihost_entry_detects_and_recovers(monkeypatch):
+    """Fault injection through the REAL production entry
+    (parallel.multihost.sort_sharded_guarded): the first dispatch of the
+    distributed sort dies with a transient runtime error (preempted RPC /
+    allocator hiccup class), the guard catches it, on_retry observes it,
+    and the relaunch returns the bit-exact result.  (The hung-collective
+    DeviceTimeout path is deadline-driven and covered by the pure-guard
+    tests above — injecting a real multi-second hang here would make the
+    fast tier wait out the deadline.)"""
+    from radx_tpu.config import SortConfig
+    from radx_tpu.parallel import dist_sort, make_mesh, multihost
+
+    real = dist_sort.sort_sharded
+    calls = []
+
+    def dies_once(keys, mesh, **kw):
+        calls.append(None)
+        if len(calls) == 1:
+            raise jax.errors.JaxRuntimeError("injected transient fault")
+        return real(keys, mesh, **kw)
+
+    monkeypatch.setattr(dist_sort, "sort_sharded", dies_once)
+
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(7)
+    keys = jnp.asarray(rng.integers(0, 2**32, 2048, dtype=np.uint32))
+    cfg = SortConfig(interpret=True, chunk_rows=8, stable_chunk_rows=8)
+    seen = []
+    out, valid, overflow = multihost.sort_sharded_guarded(
+        keys, mesh, capacity=4, cfg=cfg, timeout_s=600.0, retries=2,
+        on_retry=lambda a, e: seen.append(type(e).__name__),
+    )
+    assert seen == ["JaxRuntimeError"] and len(calls) == 2
+    assert not np.asarray(overflow).any()
+    got = dist_sort.collect(out, valid)
+    np.testing.assert_array_equal(got, np.sort(np.asarray(keys)))
+
+
 def test_retry_gives_up_after_budget():
     def always_slow(x):
         def cb(v):

@@ -55,8 +55,11 @@ def main():
     gkeys = multihost.shard_global(keys, mesh)
 
     cfg = SortConfig(interpret=True, chunk_rows=64, stable_chunk_rows=64)
-    sorted_padded, valid, overflow = dist_sort.sort_sharded(
-        gkeys, mesh, capacity=4, cfg=cfg
+    # the guarded production entry: the exchange's collectives run under a
+    # deadline + deterministic-retry (utils/guard.py) so a wedged peer is
+    # detected instead of hanging every process forever
+    sorted_padded, valid, overflow = multihost.sort_sharded_guarded(
+        gkeys, mesh, capacity=4, cfg=cfg, timeout_s=600.0
     )
     rows = multihost.allgather_result(sorted_padded).reshape(n_dev, -1)
     counts = multihost.allgather_result(valid).reshape(-1)

@@ -19,6 +19,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from radx_tpu.utils import guard
+
+
+def _guarded(fn, *args, timeout_s=3600.0):
+    """Every long device step runs under the failure-detection watchdog
+    (utils/guard.py): a wedged device/relay raises DeviceTimeout instead of
+    blocking the validation run forever (SURVEY §5; the reference's
+    INT64_MAX fence waits, radx_utils.hpp:201-244, are the anti-pattern)."""
+    return guard.watchdog(fn, *args, timeout_s=timeout_s)
+
 
 def filter_1b():
     from radx_tpu.ops.chunked import filter_chunked
@@ -28,7 +38,7 @@ def filter_1b():
     vals = rng.integers(0, 2**32, n, dtype=np.uint32)
     mask = (vals & 1).astype(np.uint32)  # ~50% kept, value-derived
     t0 = time.perf_counter()
-    (out,), count = filter_chunked(mask, [vals])
+    (out,), count = _guarded(lambda: filter_chunked(mask, [vals]))
     dt = time.perf_counter() - t0
     want = vals[mask != 0]
     assert count == want.shape[0], (count, want.shape)
@@ -45,7 +55,7 @@ def groupby_1b():
     keys = rng.integers(0, 1 << 20, n).astype(np.uint32)  # ~1M groups
     vals = rng.integers(0, 1 << 11, n).astype(np.uint32)
     t0 = time.perf_counter()
-    uk, out, ng = groupby_chunked(keys, vals, "sum")
+    uk, out, ng = _guarded(lambda: groupby_chunked(keys, vals, "sum"))
     dt = time.perf_counter() - t0
     order = np.argsort(keys, kind="stable")
     ks, vs = keys[order], vals[order]
@@ -68,9 +78,11 @@ def join_100m():
     probe_keys = rng.integers(0, nb, npr).astype(np.uint32)  # half miss
     probe_vals = rng.integers(0, 2**32, npr, dtype=np.uint32)
     t0 = time.perf_counter()
-    k, bv, pv, valid, trunc = join_merge_multi(
-        jnp.asarray(build_keys), jnp.asarray(build_vals),
-        jnp.asarray(probe_keys), jnp.asarray(probe_vals), max_matches=2,
+    k, bv, pv, valid, trunc = _guarded(
+        lambda: join_merge_multi(
+            jnp.asarray(build_keys), jnp.asarray(build_vals),
+            jnp.asarray(probe_keys), jnp.asarray(probe_vals), max_matches=2,
+        )
     )
     k = np.asarray(jax.device_get(k))
     bv = np.asarray(jax.device_get(bv))
@@ -112,7 +124,7 @@ def arbn_600m():
 
     def timed(fn, x):
         t0 = time.perf_counter()
-        r = fn(x)
+        r = _guarded(fn, x, timeout_s=1800.0)
         jax.device_get(r[:8])
         return r, time.perf_counter() - t0
 
@@ -146,7 +158,7 @@ def sort_1g():
     n = 1 << 30
     keys = runtime.gen_permutation(n, seed=9)
     t0 = time.perf_counter()
-    out = sort_chunked(keys, slab=1 << 28)
+    out = _guarded(lambda: sort_chunked(keys, slab=1 << 28), timeout_s=7200.0)
     dt = time.perf_counter() - t0
     assert runtime.validate_sort(keys, out) == 0, "sort_1g MISMATCH"
     print(f"sort_1g OK: n={n} wall={dt:.1f}s "
