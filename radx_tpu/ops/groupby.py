@@ -151,8 +151,13 @@ def groupby_dense(keys, values, agg: str = "sum",
     cfg = cfg or tuned()
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
+    key_dtype = keys.dtype
+    if keys.dtype == jnp.int32:
+        # bin ids must be in [0, bins); negatives bitcast to huge uint32
+        # and fail the existing in_range gate below
+        keys = jax.lax.bitcast_convert_type(keys, jnp.uint32)
     if keys.dtype != jnp.uint32:
-        raise TypeError("keys must be uint32")
+        raise TypeError("dense groupby keys must be uint32/int32 bin ids")
     if values.dtype not in (jnp.uint32, jnp.int32, jnp.float32):
         raise TypeError("dense groupby values must be uint32/int32/float32")
     if agg == "sum" and values.dtype == jnp.float32:
@@ -173,6 +178,8 @@ def groupby_dense(keys, values, agg: str = "sum",
     uk, out, ng, in_range = _groupby_dense_jit(keys, values, cfg, agg, bins)
     if not bool(in_range):
         raise ValueError(f"groupby_dense requires every key < bins={bins}")
+    if key_dtype == jnp.int32:  # bin ids < 2^16: bitcast is the identity
+        uk = jax.lax.bitcast_convert_type(uk, jnp.int32)
     if agg == "count":
         return uk, out, ng
     if agg == "sum":
@@ -181,20 +188,26 @@ def groupby_dense(keys, values, agg: str = "sum",
 
 
 def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):
-    """Aggregate `values` per unique uint32 key.
+    """Aggregate `values` per unique key (uint32 / int32 / float32 keys).
 
     Returns (unique_keys, aggregates, num_groups): arrays padded to at
     least len(keys) (the engine's pow2 padding) — rows beyond num_groups
-    are garbage.  Unique keys are ascending.  uint32 sums wrap at 2^32
-    (like C unsigned arithmetic); float32 sums accumulate in f32 in a
+    are garbage.  Unique keys are ascending (in the key dtype's order;
+    float32 keys use the total order -inf < ... < +inf < nan, with -0.0
+    and +0.0 DISTINCT groups — bit-pattern grouping).  uint32 sums wrap at
+    2^32 (like C unsigned arithmetic); float32 sums accumulate in f32 in a
     deterministic (input-dependent) order — grouping is unstable, so the
     within-group addition order is not the input order.
+
+    Non-uint32 keys run through the same order-preserving bit encodings as
+    sort_any (ops/sort._encode_keys) — the uint32 engine never changes
+    (the reference is uint32-only, SURVEY §2; dtype coverage is part of
+    the query-executor surface).
     """
     cfg = cfg or tuned()
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
-    if keys.dtype != jnp.uint32:
-        raise TypeError("keys must be uint32")
+    enc = sort_ops._encode_keys(keys)  # validates the key dtype
     if values.dtype not in (jnp.uint32, jnp.int32, jnp.float32):
         raise TypeError("values must be uint32/int32/float32")
     if values.shape != keys.shape:
@@ -203,10 +216,10 @@ def groupby(keys, values, agg: str = "sum", cfg: SortConfig | None = None):
         raise ValueError(f"unknown agg {agg!r}")
     if keys.shape[0] == 0:
         return keys, values, jnp.int32(0)
-    skeys, acc, is_last, num_groups = _groupby_jit(keys, values, cfg, agg)
+    skeys, acc, is_last, num_groups = _groupby_jit(enc, values, cfg, agg)
     from radx_tpu.ops.filter import filter_columns
 
     (uk, out), _ = filter_columns(
         is_last.astype(jnp.int32), [skeys, acc], cfg
     )
-    return uk, out, num_groups
+    return sort_ops._decode_keys(uk, keys.dtype), out, num_groups

@@ -101,19 +101,26 @@ def join_merge(build_keys, build_vals, probe_keys, probe_vals,
 
     Returns (keys, build_vals, probe_vals, count): compacted matched rows
     (first `count` entries; order is key-sorted, not probe order).
+
+    Keys may be uint32 / int32 / float32 (both sides the same dtype):
+    non-uint32 keys run through the order-preserving encodings of
+    ops/sort._encode_keys; float32 keys match by BIT PATTERN (-0.0 and
+    +0.0 are distinct; nan == nan for the same payload bits).
     """
     cfg = cfg or tuned()
     build_keys = jnp.asarray(build_keys)
     probe_keys = jnp.asarray(probe_keys)
     build_vals = jnp.asarray(build_vals)
     probe_vals = jnp.asarray(probe_vals)
-    for k in (build_keys, probe_keys):
-        if k.dtype != jnp.uint32:
-            raise TypeError("join keys must be uint32")
+    if build_keys.dtype != probe_keys.dtype:
+        raise TypeError("join key dtypes must match on both sides")
+    key_dtype = build_keys.dtype
+    enc_b = sort_ops._encode_keys(build_keys)  # validates the dtype
+    enc_p = sort_ops._encode_keys(probe_keys)
     if build_keys.shape[0] >= 1 << 30 or probe_keys.shape[0] >= 1 << 30:
         raise ValueError("join_merge supports up to 2^30-1 rows per side")
     skey, bval, pval, keep = _join_merge_jit(
-        build_keys, build_vals, probe_keys, probe_vals, cfg
+        enc_b, build_vals, enc_p, probe_vals, cfg
     )
     from radx_tpu.ops.filter import filter_columns
 
@@ -121,7 +128,7 @@ def join_merge(build_keys, build_vals, probe_keys, probe_vals,
         keep, [skey, bval, pval], cfg
     )
     return (
-        k_out,
+        sort_ops._decode_keys(k_out, key_dtype),
         jax.lax.bitcast_convert_type(b_out, build_vals.dtype),
         jax.lax.bitcast_convert_type(p_out, probe_vals.dtype),
         count,
@@ -242,18 +249,20 @@ def join_merge_multi(
     probe_keys = jnp.asarray(probe_keys)
     build_vals = jnp.asarray(build_vals)
     probe_vals = jnp.asarray(probe_vals)
-    for k in (build_keys, probe_keys):
-        if k.dtype != jnp.uint32:
-            raise TypeError("join keys must be uint32")
+    if build_keys.dtype != probe_keys.dtype:
+        raise TypeError("join key dtypes must match on both sides")
+    key_dtype = build_keys.dtype
+    enc_b = sort_ops._encode_keys(build_keys)  # uint32/int32/float32
+    enc_p = sort_ops._encode_keys(probe_keys)
     if build_keys.shape[0] >= 1 << 30 or probe_keys.shape[0] >= 1 << 30:
         raise ValueError("join supports up to 2^30-1 rows per side")
     if max_matches < 1:
         raise ValueError("max_matches must be >= 1")
     k, bv, pv, valid, trunc = _join_multi_jit(
-        build_keys, build_vals, probe_keys, probe_vals, cfg, max_matches
+        enc_b, build_vals, enc_p, probe_vals, cfg, max_matches
     )
     return (
-        k,
+        sort_ops._decode_keys(k, key_dtype),
         jax.lax.bitcast_convert_type(bv, build_vals.dtype),
         jax.lax.bitcast_convert_type(pv, probe_vals.dtype),
         valid,
@@ -302,15 +311,24 @@ def join_inner(
     probe_keys = jnp.asarray(probe_keys)
     build_vals = jnp.asarray(build_vals)
     probe_vals = jnp.asarray(probe_vals)
-    for k in (build_keys, probe_keys):
-        if k.dtype != jnp.uint32:
-            raise TypeError("join keys must be uint32")
+    if build_keys.dtype != probe_keys.dtype:
+        raise TypeError("join key dtypes must match on both sides")
+    key_dtype = build_keys.dtype
+    enc_b = sort_ops._encode_keys(build_keys)  # uint32/int32/float32
+    enc_p = sort_ops._encode_keys(probe_keys)
     if build_vals.shape != build_keys.shape:
         raise ValueError("build_vals must match build_keys")
     if probe_vals.shape != probe_keys.shape:
         raise ValueError("probe_vals must match probe_keys")
     if max_matches < 1:
         raise ValueError("max_matches must be >= 1")
-    return _join_jit(
-        build_keys, build_vals, probe_keys, probe_vals, cfg, max_matches
+    out_bk, out_bv, out_pv, valid, trunc = _join_jit(
+        enc_b, build_vals, enc_p, probe_vals, cfg, max_matches
+    )
+    return (
+        sort_ops._decode_keys(out_bk, key_dtype),
+        out_bv,
+        out_pv,
+        valid,
+        trunc,
     )

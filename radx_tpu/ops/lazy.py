@@ -421,32 +421,50 @@ class LazyTable:
         API, which is allowed a host sync)."""
         if agg not in ("sum", "count", "min", "max"):
             raise ValueError(f"unknown agg {agg!r}")
+        key_col = self.columns[key]
+        key_dtype = key_col.dtype
         dense_ok = bins is not None and (
             (agg == "sum" and self.columns[value].dtype != jnp.float32)
             or agg == "count"
             or (agg in ("min", "max") and bins <= 8192)
         )
         if dense_ok:
+            # dense keys are bin ids: uint32/int32 in [0, bins) — bitcast
+            # is the identity there (out-of-range is the caller's contract)
+            if key_dtype == jnp.float32:
+                raise TypeError("dense groupby keys must be uint32/int32")
             uk, out, ng = groupby_lazy_dense(
-                self.columns[key], self.columns[value], self.count, agg,
-                self.cfg, bins,
+                jax.lax.bitcast_convert_type(key_col, jnp.uint32),
+                self.columns[value], self.count, agg, self.cfg, bins,
             )
+            if key_dtype == jnp.int32:
+                uk = jax.lax.bitcast_convert_type(uk, jnp.int32)
         else:
+            # order-preserving encodings (ops/sort._encode_keys) thread
+            # int32/float32 keys through the uint32 grouping core
             uk, out, ng = groupby_lazy(
-                self.columns[key], self.columns[value], self.count, agg,
-                self.cfg, self.padded_rows,
+                sort_ops._encode_keys(key_col), self.columns[value],
+                self.count, agg, self.cfg, self.padded_rows,
             )
+            uk = sort_ops._decode_keys(uk, key_dtype)
         return LazyTable({key: uk, agg: out}, ng, self.cfg)
 
     def join(self, other: "LazyTable", on: str, value: str,
              other_value: str) -> "LazyTable":
+        key_dtype = self.columns[on].dtype
+        if other.columns[on].dtype != key_dtype:
+            raise TypeError("join key dtypes must match on both sides")
         k, bv, pv, count = join_lazy(
-            other.columns[on], other.columns[other_value], other.count,
-            self.columns[on], self.columns[value], self.count,
+            sort_ops._encode_keys(other.columns[on]),
+            other.columns[other_value], other.count,
+            sort_ops._encode_keys(self.columns[on]),
+            self.columns[value], self.count,
             self.cfg, other.padded_rows, self.padded_rows,
         )
         return LazyTable(
-            {on: k, value: pv, other_value: bv}, count, self.cfg
+            {on: sort_ops._decode_keys(k, key_dtype), value: pv,
+             other_value: bv},
+            count, self.cfg,
         )
 
     def join_multi(self, other: "LazyTable", on: str, value: str,
@@ -458,13 +476,22 @@ class LazyTable:
         Check it at collect time; raising here would force a host sync."""
         if max_matches < 1:
             raise ValueError("max_matches must be >= 1")
+        key_dtype = self.columns[on].dtype
+        if other.columns[on].dtype != key_dtype:
+            raise TypeError("join key dtypes must match on both sides")
         k, bv, pv, count, truncated = join_multi_lazy(
-            other.columns[on], other.columns[other_value], other.count,
-            self.columns[on], self.columns[value], self.count,
+            sort_ops._encode_keys(other.columns[on]),
+            other.columns[other_value], other.count,
+            sort_ops._encode_keys(self.columns[on]),
+            self.columns[value], self.count,
             self.cfg, other.padded_rows, self.padded_rows, max_matches,
         )
         return (
-            LazyTable({on: k, value: pv, other_value: bv}, count, self.cfg),
+            LazyTable(
+                {on: sort_ops._decode_keys(k, key_dtype), value: pv,
+                 other_value: bv},
+                count, self.cfg,
+            ),
             truncated,
         )
 
