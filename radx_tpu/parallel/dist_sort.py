@@ -20,7 +20,14 @@ collectives.  Algorithm per shard:
   4. **exchange as D-1 `ppermute` waves** (ICI neighbours), each wave
      overlapped with the pairwise bitonic merges of runs that have
      already arrived (`overlap=True`), or one `all_to_all`-equivalent
-     wave loop followed by a single multi-way merge (`overlap=False`);
+     wave loop followed by a single multi-way merge (`overlap=False`).
+     At slice scale (D >= ~64) pass `exchange="hier"`: a two-phase
+     hierarchical exchange over the Dr×Dc factorization of D —
+     (Dr-1)+(Dc-1) ≈ 2√D-2 waves instead of D-1, each key crossing the
+     wire twice (route to the destination *block* along column peers,
+     merge, re-slice at the block's internal splitters, deliver along
+     row peers) — the standard latency/bandwidth trade, modeled against
+     flat in tools/scaling_model.py (crossover D≈64 DCN / D≈128 ICI);
   5. the received runs are merged — **not re-sorted** — by the
      alternating-direction run merge (kernels/bitonic.merge_sorted_runs):
      O(L·log D) work instead of the round-1 full O(L log²L) sort of the
@@ -118,8 +125,129 @@ def _merge_pair(a_planes, b_planes, log_run, num_cmp, cfg, descending):
     return [o.reshape(-1) for o in out]
 
 
-def _shard_body(keys, payloads, n_dev, slot, n, cfg, axis, stable, overlap):
+def _group_exchange_merge(
+    send, counts, axis, me_g, group_size, group_sel, slot, num_cmp, cfg,
+    overlap, n_planes,
+):
+    """Exchange fixed slots within a device subgroup and merge arrivals.
+
+    send: (P, G, slot) — run g is bound for the group's g-th device;
+    counts: (G,) valid lengths; group_sel(i) -> (g, flat_of(g')) maps a
+    flat axis index to its group coordinate and back (defines the subgroup
+    permutation for ppermute).  Returns (merged_planes, valid, rcounts):
+    merged ascending planes of G·slot_pow2 elements (sentinel-padded runs
+    merged by the alternating-direction tree), the valid total, and the
+    per-arrival counts.
+
+    This is the round-4 flat exchange factored out so the hierarchical
+    two-phase exchange (VERDICT r4 #8: O(D) waves → O(√D)) can reuse the
+    wave loop, the source-side flip choreography, and the overlap merge
+    stack for BOTH of its phases.
+    """
+    # source-side flip of runs bound for odd arrival positions
+    arrival = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, group_size, 1), 1) - me_g
+    ) % group_size
+    send = jnp.where((arrival & 1) != 0, jnp.flip(send, axis=-1), send)
+
+    # per-arrival counts: subgroup all_to_all expressed as G-1 ppermutes of
+    # one scalar each would serialize; a tiled all_to_all over the full
+    # axis is not subgroup-aware, so exchange counts with the same wave
+    # permutation (cheap: 1 int per wave)
+    log_slot = _log2(slot)
+
+    def wave_perm(shift):
+        perm = []
+        for i, (g, flat_of) in group_sel.items():
+            perm.append((i, flat_of[(g + shift) % group_size]))
+        return perm
+
+    def wave(shift):
+        dest = (me_g + shift) % group_size
+        blk = jax.lax.dynamic_slice_in_dim(send, dest, 1, axis=1)
+        out = jax.lax.ppermute(blk, axis, wave_perm(shift))[:, 0]
+        cnt = jax.lax.dynamic_slice_in_dim(counts, dest, 1)
+        rcnt = jax.lax.ppermute(cnt, axis, wave_perm(shift))[0]
+        return out, rcnt
+
+    own = jax.lax.dynamic_slice_in_dim(send, me_g, 1, axis=1)[:, 0]
+    own_cnt = jax.lax.dynamic_slice_in_dim(counts, me_g, 1)[0]
+
+    n_runs = 1 << (group_size - 1).bit_length()
+
+    def sentinel_run():
+        return [
+            jnp.full((slot,), _plane_fill(i, num_cmp), jnp.int32)
+            for i in range(n_planes)
+        ]
+
+    rcounts = [own_cnt]
+    if overlap:
+        stack = []  # (level, position, planes)
+
+        def push(run_planes, a):
+            stack.append((0, a, run_planes))
+            while len(stack) >= 2 and stack[-1][0] == stack[-2][0]:
+                lvl, _, b = stack.pop()
+                _, pos1, a_pl = stack.pop()
+                parent = pos1 >> 1
+                merged = _merge_pair(
+                    a_pl, b, log_slot + lvl, num_cmp, cfg,
+                    descending=(parent & 1) == 1,
+                )
+                stack.append((lvl + 1, parent, merged))
+
+        push([own[i] for i in range(own.shape[0])], 0)
+        for shift in range(1, group_size):
+            r, rc = wave(shift)
+            rcounts.append(rc)
+            push([r[i] for i in range(r.shape[0])], shift)
+        for a in range(group_size, n_runs):
+            push(sentinel_run(), a)
+        assert len(stack) == 1
+        merged = stack[0][2]
+    else:
+        runs = [own]
+        for shift in range(1, group_size):
+            r, rc = wave(shift)
+            rcounts.append(rc)
+            runs.append(r)
+        runs += [jnp.stack(sentinel_run()) for _ in range(n_runs - group_size)]
+        flat = jnp.concatenate(runs, axis=-1)  # (P, n_runs·slot)
+        planes_in = [flat[i].reshape(-1, LANES) for i in range(flat.shape[0])]
+        out = bitonic.merge_sorted_runs(
+            planes_in, log_slot, num_cmp,
+            cfg.chunk_rows if num_cmp == 1 else cfg.stable_chunk_rows,
+            interpret=resolve_interpret(cfg),
+        )
+        merged = [o.reshape(-1) for o in out]
+    valid = jnp.sum(jnp.stack(rcounts))
+    return merged, valid, rcounts
+
+
+def _pack_slots(planes, bounds, counts, group_size, slot, num_cmp):
+    """Pack contiguous runs [bounds[g], bounds[g+1]) of sorted planes into
+    fixed sentinel-padded slots — (P, G, slot)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (group_size, slot), 1)
+    in_slot = (j < counts[:, None]).astype(jnp.int32)
+    send = []
+    for i, p in enumerate(planes):
+        fill = _plane_fill(i, num_cmp)
+        padded = jnp.concatenate([p, jnp.full((slot,), fill, jnp.int32)])
+        rows = jnp.stack([
+            jax.lax.dynamic_slice(padded, (bounds[s],), (slot,))
+            for s in range(group_size)
+        ])  # (G, slot)
+        send.append(jnp.where(in_slot != 0, rows, fill))
+    return jnp.stack(send)  # (P, G, slot)
+
+
+def _shard_body(keys, payloads, n_dev, slot, n, cfg, axis, stable, overlap,
+                hier=None):
     """Per-shard body (runs under shard_map). keys: (m,) uint32.
+
+    hier=None: flat exchange (D-1 waves, slot = int).  hier=(Dr, Dc):
+    two-phase hierarchical exchange (slot = (slot1, slot2) pow2 sizes).
 
     n is the GLOBAL valid count: ragged inputs are padded to D·m by the
     wrapper, pads sit at the global tail, so this shard's valid prefix is
@@ -152,120 +280,108 @@ def _shard_body(keys, payloads, n_dev, slot, n, cfg, axis, stable, overlap):
     spos = jnp.arange(1, n_dev, dtype=jnp.int32) * ns  # = j·(ns·D)//D exactly
     splitters = gsorted[spos]  # (D-1,) — device s gets [split[s-1], split[s])
 
-    # (3) run boundaries: rank of each splitter in my sorted shard's valid
-    # prefix (pads are sentinel-max and would otherwise count into the top
-    # splitter's run when a splitter equals the sentinel)
-    ranks = [
-        jnp.minimum(
-            jnp.sum((s_key < splitters[s]).astype(jnp.int32)), m_valid
-        )
-        for s in range(n_dev - 1)
-    ]
-    bounds = jnp.stack(
-        [jnp.int32(0), *ranks, m_valid]
-    )  # (D+1,) non-decreasing
-    counts = bounds[1:] - bounds[:-1]  # (D,) keys bound for each device
-    overflow = jax.lax.pmax(jnp.max(counts - slot), axis) > 0
-
-    # pack runs into fixed sentinel-padded slots: D contiguous slices
-    j = jax.lax.broadcasted_iota(jnp.int32, (n_dev, slot), 1)
-    in_slot = (j < counts[:, None]).astype(jnp.int32)
-    send = []
-    for i, p in enumerate(planes):
-        fill = _plane_fill(i, num_cmp)
-        padded = jnp.concatenate([p, jnp.full((slot,), fill, jnp.int32)])
-        rows = jnp.stack([
-            jax.lax.dynamic_slice(padded, (bounds[s],), (slot,))
-            for s in range(n_dev)
-        ])  # (D, slot)
-        send.append(jnp.where(in_slot != 0, rows, fill))
-    send = jnp.stack(send)  # (P, D, slot)
-
-    # source-side flip of runs bound for odd arrival positions, so the
-    # destination's runs alternate ascending/descending by arrival index
-    # (the merge_sorted_runs precondition) with no flip pass there
-    arrival = (jax.lax.broadcasted_iota(jnp.int32, (1, n_dev, 1), 1) - me) % n_dev
-    send = jnp.where((arrival & 1) != 0, jnp.flip(send, axis=-1), send)
-
-    # (4) exchange counts (one tiled all_to_all of D ints) and runs
-    # (D-1 ppermute waves), merging arrived runs between waves
-    rcounts = jax.lax.all_to_all(
-        counts.reshape(n_dev, 1), axis, split_axis=0, concat_axis=0,
-        tiled=True,
-    ).reshape(-1)
-    valid = jnp.sum(rcounts)
-
-    log_slot = _log2(slot)
-    perm_cache = {}
-
-    def wave(shift):
-        dest = (me + shift) % n_dev
-        blk = jax.lax.dynamic_slice_in_dim(send, dest, 1, axis=1)
-        perm = perm_cache.setdefault(
-            shift, [(i, (i + shift) % n_dev) for i in range(n_dev)]
-        )
-        return jax.lax.ppermute(blk, axis, perm)[:, 0]  # (P, slot)
-
-    own = jax.lax.dynamic_slice_in_dim(send, me, 1, axis=1)[:, 0]
-
-    # non-pow2 D: complete the merge structure with all-sentinel virtual
-    # runs (constant planes — sorted in every direction, zero exchange
-    # cost); the valley-free pow2 machinery then applies unchanged
-    n_runs = 1 << (n_dev - 1).bit_length()
     n_planes_ = len(planes)
 
-    def sentinel_run():
+    def split_ranks(sorted_key, valid_len, split_vals):
+        """Rank of each splitter in the valid prefix (pads are
+        sentinel-max and would otherwise count into the top splitter's
+        run when a splitter equals the sentinel)."""
         return [
-            jnp.full((slot,), _plane_fill(i, num_cmp), jnp.int32)
-            for i in range(n_planes_)
+            jnp.minimum(
+                jnp.sum((sorted_key < sv).astype(jnp.int32)), valid_len
+            )
+            for sv in split_vals
         ]
 
-    if overlap:
-        # pairwise merge tree, folded into the wave loop: the merge of
-        # arrivals (2i, 2i+1) is issued as soon as both are in, so XLA can
-        # run it concurrently with the next ppermute wave
-        stack = []  # (level, position, planes)
+    flat_sel = {
+        i: (i, list(range(n_dev))) for i in range(n_dev)
+    }
 
-        def push(run_planes, a):
-            stack.append((0, a, run_planes))
-            while len(stack) >= 2 and stack[-1][0] == stack[-2][0]:
-                lvl, _, b = stack.pop()
-                _, pos1, a_pl = stack.pop()
-                parent = pos1 >> 1
-                merged = _merge_pair(
-                    a_pl, b, log_slot + lvl, num_cmp, cfg,
-                    descending=(parent & 1) == 1,
-                )
-                stack.append((lvl + 1, parent, merged))
-
-        push([own[i] for i in range(own.shape[0])], 0)
-        for shift in range(1, n_dev):
-            r = wave(shift)
-            push([r[i] for i in range(r.shape[0])], shift)
-        for a in range(n_dev, n_runs):
-            push(sentinel_run(), a)
-        assert len(stack) == 1
-        merged = stack[0][2]
-    else:
-        runs = [own] + [wave(shift) for shift in range(1, n_dev)]
-        runs += [jnp.stack(sentinel_run()) for _ in range(n_runs - n_dev)]
-        flat = jnp.concatenate(runs, axis=-1)  # (P, n_runs·slot)
-        planes_in = [
-            flat[i].reshape(-1, LANES) for i in range(flat.shape[0])
-        ]
-        out = bitonic.merge_sorted_runs(
-            planes_in, log_slot, num_cmp,
-            cfg.chunk_rows if num_cmp == 1 else cfg.stable_chunk_rows,
-            interpret=resolve_interpret(cfg),
+    if hier is None:
+        # (3) flat: D runs at final-splitter boundaries, D-1 waves
+        ranks = split_ranks(
+            s_key, m_valid, [splitters[s] for s in range(n_dev - 1)]
         )
-        merged = [o.reshape(-1) for o in out]
+        bounds = jnp.stack([jnp.int32(0), *ranks, m_valid])
+        counts = bounds[1:] - bounds[:-1]
+        overflow = jax.lax.pmax(jnp.max(counts - slot), axis) > 0
+        send = _pack_slots(planes, bounds, counts, n_dev, slot, num_cmp)
+        merged, valid, _ = _group_exchange_merge(
+            send, counts, axis, me, n_dev, flat_sel, slot, num_cmp, cfg,
+            overlap, n_planes_,
+        )
+    else:
+        # (3') hierarchical two-phase exchange (VERDICT r4 #8): factor the
+        # axis as D = Dr x Dc (me = r·Dc + c).  Phase 1 routes by dest
+        # BLOCK r' (final devices [r'·Dc, (r'+1)·Dc) — a contiguous
+        # splitter range, so each block's keys are ONE contiguous slice of
+        # the sorted shard) along the Dr column peers {(*, c)}: Dr-1
+        # waves.  The arrivals (all destined to block r') merge into one
+        # sorted run; phase 2 slices it at the block's internal final
+        # splitters and routes slice c' along the Dc row peers {(r', *)}:
+        # Dc-1 waves.  Total waves (Dr-1)+(Dc-1) ≈ 2√D - 2 instead of
+        # D-1, for 2x the per-key bytes (each key moves twice) — the
+        # standard latency-vs-bandwidth trade that wins at slice scale.
+        d_r, d_c = hier
+        r_me = me // d_c
+        c_me = me % d_c
+        col_sel = {
+            i: (i // d_c, [g * d_c + (i % d_c) for g in range(d_r)])
+            for i in range(n_dev)
+        }
+        row_sel = {
+            i: (i % d_c, [(i // d_c) * d_c + g for g in range(d_c)])
+            for i in range(n_dev)
+        }
+        slot1, slot2 = slot  # phase slot sizes (pow2)
+
+        # phase 1: block boundaries = every Dc-th splitter
+        block_splits = [splitters[b * d_c - 1] for b in range(1, d_r)]
+        ranks1 = split_ranks(s_key, m_valid, block_splits)
+        bounds1 = jnp.stack([jnp.int32(0), *ranks1, m_valid])
+        counts1 = bounds1[1:] - bounds1[:-1]  # (Dr,)
+        ovf1 = jnp.max(counts1 - slot1)
+        send1 = _pack_slots(planes, bounds1, counts1, d_r, slot1, num_cmp)
+        merged1, valid1, _ = _group_exchange_merge(
+            send1, counts1, axis, r_me, d_r, col_sel, slot1, num_cmp, cfg,
+            overlap, n_planes_,
+        )
+
+        # phase 2: slice my block's merged run at its internal final
+        # splitters (block index = my ROW coordinate r_me after phase 1)
+        my_block_splits = [
+            jax.lax.dynamic_index_in_dim(
+                splitters, r_me * d_c + j, keepdims=False
+            )
+            for j in range(d_c - 1)
+        ]
+        ranks2 = split_ranks(merged1[0], valid1, my_block_splits)
+        bounds2 = jnp.stack([jnp.int32(0), *ranks2, valid1])
+        counts2 = bounds2[1:] - bounds2[:-1]  # (Dc,)
+        ovf2 = jnp.max(counts2 - slot2)
+        send2 = _pack_slots(merged1, bounds2, counts2, d_c, slot2, num_cmp)
+        merged, valid, _ = _group_exchange_merge(
+            send2, counts2, axis, c_me, d_c, row_sel, slot2, num_cmp, cfg,
+            overlap, n_planes_,
+        )
+        overflow = jax.lax.pmax(jnp.maximum(ovf1, ovf2), axis) > 0
 
     sorted_keys = merged[0].astype(jnp.uint32) ^ _SIGN
     outs = [sorted_keys] + merged[1:]
     return (*outs, valid.reshape(1), overflow.reshape(1))
 
 
-def _run_sharded(keys, payloads, mesh, axis, capacity, cfg, stable, overlap):
+def _hier_factor(n_dev: int) -> tuple[int, int] | None:
+    """Near-square pow2 factorization Dr x Dc of a pow2 device count
+    (None when D is not a pow2 >= 4 — hier falls back to flat)."""
+    if n_dev < 4 or n_dev & (n_dev - 1):
+        return None
+    k = _log2(n_dev)
+    return 1 << (k - k // 2), 1 << (k // 2)
+
+
+def _run_sharded(keys, payloads, mesh, axis, capacity, cfg, stable, overlap,
+                 exchange="flat"):
     cfg = cfg or tuned()
     if keys.dtype != jnp.uint32:
         # int32 keys would silently bias/compare wrong — reject like
@@ -292,7 +408,15 @@ def _run_sharded(keys, payloads, mesh, axis, capacity, cfg, stable, overlap):
             jnp.concatenate([p, jnp.zeros((padded_n - n,), p.dtype)])
             for p in payloads
         )
-    slot = _pow2_pad(capacity * cdiv(n, n_dev * n_dev), min_total=LANES)
+    hier = _hier_factor(n_dev) if exchange == "hier" else None
+    if hier is not None:
+        d_r, d_c = hier
+        slot = (
+            _pow2_pad(capacity * cdiv(m, d_r), min_total=LANES),
+            _pow2_pad(capacity * cdiv(m, d_c), min_total=LANES),
+        )
+    else:
+        slot = _pow2_pad(capacity * cdiv(n, n_dev * n_dev), min_total=LANES)
 
     # Payload-carrying sorts always thread the global-index tiebreak
     # internally: with num_cmp=1 a real key equal to the 0xFFFFFFFF pad
@@ -304,7 +428,7 @@ def _run_sharded(keys, payloads, mesh, axis, capacity, cfg, stable, overlap):
     internal_stable = stable or bool(payloads)
     body = functools.partial(
         _shard_body, n_dev=n_dev, slot=slot, n=n, cfg=cfg, axis=axis,
-        stable=internal_stable, overlap=overlap,
+        stable=internal_stable, overlap=overlap, hier=hier,
     )
     n_extra = len(payloads) + (1 if internal_stable else 0)
     fn = shard_map(
@@ -322,7 +446,8 @@ def _run_sharded(keys, payloads, mesh, axis, capacity, cfg, stable, overlap):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "capacity", "cfg", "overlap"),
+    static_argnames=("mesh", "axis", "capacity", "cfg", "overlap",
+                     "exchange"),
 )
 def sort_sharded(
     keys,
@@ -331,6 +456,7 @@ def sort_sharded(
     capacity: int = 4,
     cfg: SortConfig | None = None,
     overlap: bool = True,
+    exchange: str = "flat",
 ):
     """Distributed sort of uint32 keys sharded over `axis` of `mesh`.
 
@@ -344,14 +470,16 @@ def sort_sharded(
     sorted sequence.
     """
     planes, valid, overflow, _ = _run_sharded(
-        keys, (), mesh, axis, capacity, cfg, stable=False, overlap=overlap
+        keys, (), mesh, axis, capacity, cfg, stable=False, overlap=overlap,
+        exchange=exchange,
     )
     return planes[0], valid, overflow
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "capacity", "cfg", "stable", "overlap"),
+    static_argnames=("mesh", "axis", "capacity", "cfg", "stable", "overlap",
+                     "exchange"),
 )
 def sort_pairs_sharded(
     keys,
@@ -362,6 +490,7 @@ def sort_pairs_sharded(
     cfg: SortConfig | None = None,
     stable: bool = False,
     overlap: bool = True,
+    exchange: str = "flat",
 ):
     """Distributed key+payload sort. values: any 32-bit dtype, same shape.
 
@@ -372,7 +501,7 @@ def sort_pairs_sharded(
     """
     planes, valid, overflow, _ = _run_sharded(
         keys, (values,), mesh, axis, capacity, cfg,
-        stable=stable, overlap=overlap,
+        stable=stable, overlap=overlap, exchange=exchange,
     )
     vals = planes[-1]
     out_vals = jax.lax.bitcast_convert_type(

@@ -280,3 +280,79 @@ def test_shard_body_hlo_has_no_scatter_gather(rng):
             # scatters (.at[idx].add over digit bins) never qualify
             bad.append(s)
     assert not bad, "pathological ops in HLO:\n" + "\n".join(bad[:10])
+
+
+# --- hierarchical two-phase exchange (VERDICT r4 #8) -------------------------
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_hier_exchange_matches_flat(rng, n_dev):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    keys = rng.integers(0, 2**32, 1 << 14, dtype=np.uint32)
+    mesh = make_mesh(n_dev)
+    sharded = jax.device_put(
+        jnp.asarray(keys), NamedSharding(mesh, P("d"))
+    )
+    out, valid, overflow = dist_sort.sort_sharded(
+        sharded, mesh, capacity=4, cfg=CFG, exchange="hier"
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    got = dist_sort.collect(out, valid)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_hier_exchange_skewed(rng):
+    n = 1 << 14
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    hot = rng.integers(0x99990000, 0x9999FFFF, (n * 4) // 5, dtype=np.uint32)
+    keys[: hot.size] = hot
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    sharded = jax.device_put(jnp.asarray(keys), NamedSharding(mesh, P("d")))
+    out, valid, overflow = dist_sort.sort_sharded(
+        sharded, mesh, capacity=8, cfg=CFG, exchange="hier"
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    got = dist_sort.collect(out, valid)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_hier_pairs_stable(rng):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = 1 << 13
+    keys = (rng.integers(0, 64, n)).astype(np.uint32)  # heavy duplicates
+    vals = np.arange(n, dtype=np.uint32)
+    mesh = make_mesh(4)
+    kj = jax.device_put(jnp.asarray(keys), NamedSharding(mesh, P("d")))
+    vj = jax.device_put(jnp.asarray(vals), NamedSharding(mesh, P("d")))
+    ks, vs, valid, ovf = dist_sort.sort_pairs_sharded(
+        kj, vj, mesh, capacity=8, cfg=CFG, stable=True, exchange="hier"
+    )
+    assert not np.asarray(jax.device_get(ovf)).any()
+    got_k = dist_sort.collect(ks, valid)
+    got_v = dist_sort.collect(vs, valid)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[order])
+    np.testing.assert_array_equal(got_v, order.astype(np.uint32))
+
+
+def test_hier_non_pow2_falls_back_to_flat(rng):
+    # D=6 is not pow2: exchange="hier" must silently use the flat path
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    keys = rng.integers(0, 2**32, 6 * (1 << 10), dtype=np.uint32)
+    mesh = make_mesh(6)
+    sharded = jax.device_put(jnp.asarray(keys), NamedSharding(mesh, P("d")))
+    out, valid, overflow = dist_sort.sort_sharded(
+        sharded, mesh, capacity=4, cfg=CFG, exchange="hier"
+    )
+    assert not np.asarray(jax.device_get(overflow)).any()
+    got = dist_sort.collect(out, valid)
+    np.testing.assert_array_equal(got, np.sort(keys))
