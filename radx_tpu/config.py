@@ -44,8 +44,13 @@ class SortConfig:
         merges); falls back to the bitonic network (lax.cond) when the
         size is unsupported or a slot overflows under adversarial skew.
         Measured slower than the bitonic network at every single-chip
-        size (substage conservation — NOTES.md round 4), so it is the
-        algorithmic-parity / skew-analysis path, not the default;
+        size, and the round-5 primitive probes closed the question for
+        good (comparison-free rank/permute ingredients measure 1.7-3.6
+        G elems/s vs the network's ~2 ps/elem substages — NOTES.md
+        round 5 post-mortem): the bitonic network is FINAL as the
+        single-chip engine; "radix" is the algorithmic-parity /
+        skew-analysis path, covering the full range to 2^28 since the
+        round-5 pack-kernel SMEM fix;
         ``"lax"``: jax.lax.sort fallback — the analogue of RadX's
         lowest-common-denominator "universal" SPIR-V variant.
       chunk_rows: bitonic VMEM chunk height; one chunk = chunk_rows*128

@@ -36,7 +36,9 @@ Geometry: slot = C / n_chunks and nb ≈ 1.44·n_chunks, so every padded
 bucket region is exactly C elements and BOTH sort phases reuse one
 compiled chunk kernel.  Cost: two VMEM chunk sorts of ~N and ~1.44·N
 elements + ~3 bandwidth passes, independent of N — vs the bitonic
-pipeline's log²(N/C) merge passes; the crossover is measured in NOTES.md.
+pipeline's log²(N/C) merge passes; measured there is NO crossover on
+v5e (the chunk sorts are comparison networks too — substage
+conservation, NOTES.md rounds 4-5), so this is the parity/skew path.
 
 Skew: sample splitters bound bucket sizes, but adversarial duplicate-heavy
 inputs can overflow a run's slot or crowd too many buckets into one output
@@ -193,7 +195,12 @@ def _pack_kernel(c_rows, slot_rows, nb_pad, num_cmp, bounds_ref, *refs):
     """Pack one sorted chunk's per-bucket runs into sentinel-padded slots,
     written bucket-major (the output index map holds the transpose).
 
-    bounds_ref: (n_chunks, nb_pad+1) i32 — splitter ranks per chunk.
+    bounds_ref: (1, 1, nb_pad+1) i32 SMEM block — THIS chunk's splitter
+    ranks.  (A per-chunk-blocked SMEM input, not scalar prefetch: the
+    whole (n_chunks, nb_pad+1) table is prefetched into SMEM under
+    scalar prefetch, and at 2^28 geometry — 512×721 ints ≈ 1.5 MB — that
+    exceeds the 1 MB SMEM, the r4 compile failure.  Only this chunk's
+    row is ever read, so a blocked SMEM window is exact.)
     refs: n_planes inputs (1, c_rows, L) + n_planes outputs
           (nb_pad, 1, slot_rows, L) + n_planes VMEM scratch
           (c_rows + slot_rows + 8, L) — the scratch tail past c_rows is
@@ -202,7 +209,6 @@ def _pack_kernel(c_rows, slot_rows, nb_pad, num_cmp, bounds_ref, *refs):
     n = len(refs) // 3
     x_refs = refs[:n]
     out_refs, scratch_refs = refs[n : 2 * n], refs[2 * n :]
-    c = pl.program_id(0)
     for x, s in zip(x_refs, scratch_refs):
         s[:c_rows] = x[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (slot_rows, LANES), 1)
@@ -212,8 +218,8 @@ def _pack_kernel(c_rows, slot_rows, nb_pad, num_cmp, bounds_ref, *refs):
     )
 
     def one_bucket(b):
-        o = bounds_ref[c, b]
-        count = bounds_ref[c, b + 1] - o
+        o = bounds_ref[0, 0, b]
+        count = bounds_ref[0, 0, b + 1] - o
         r0 = o >> 7
         d = o & 127
         idx = (lane + d) & 127
@@ -407,14 +413,25 @@ def sort_msd(planes, chunk_rows, num_cmp, interpret=False, n_valid=None):
     b0b = jnp.clip(b0 // _K, 0, p.nb_pad // _K - 2)
 
     # ---- pack: scatter runs into bucket-major padded slots ---------------
+    # bounds rides as a per-chunk-blocked SMEM input (NOT scalar prefetch:
+    # the full table would blow SMEM at 2^28 geometry — see _pack_kernel)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((1, c_rows, LANES), lambda c, s: (c, 0, 0))]
+        in_specs=[
+            # bounds is (n_chunks, 1, nb_pad+1): the (1, 1, nb_pad+1) block's
+            # last two dims equal the array's, satisfying Mosaic's block
+            # shape rule for SMEM operands
+            pl.BlockSpec(
+                (1, 1, p.nb_pad + 1), lambda c: (c, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        ]
+        + [pl.BlockSpec((1, c_rows, LANES), lambda c: (c, 0, 0))]
         * n_planes,
         out_specs=[
             pl.BlockSpec(
-                (p.nb_pad, 1, p.slot_rows, LANES), lambda c, s: (0, c, 0, 0)
+                (p.nb_pad, 1, p.slot_rows, LANES), lambda c: (0, c, 0, 0)
             )
         ]
         * n_planes,
@@ -436,7 +453,7 @@ def sort_msd(planes, chunk_rows, num_cmp, interpret=False, n_valid=None):
         * n_planes,
         compiler_params=params,
         interpret=interpret,
-    )(bounds, *x3)
+    )(bounds[:, None, :], *x3)
     if n_planes == 1 and not isinstance(packed, (list, tuple)):
         packed = [packed]
 

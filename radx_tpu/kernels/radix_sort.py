@@ -29,9 +29,13 @@ lack:
      bucket's valid prefix at its exact global offset.
 
 Cost vs the flagship bitonic network: one full chunk-sort pass + a merge
-pass over headroom·N + ~3 bandwidth passes, *flat in N* — the bitonic
-network instead pays log²(N/C) cross passes, so this engine takes over at
-large N (crossover measured in NOTES.md).
+pass over headroom·N + ~3 bandwidth passes, *flat in N* — but both heavy
+phases are themselves comparison networks (substage conservation), so the
+engine measures BELOW the bitonic network at every single-chip size and
+there is no crossover; the round-5 primitive probes closed the
+comparison-free alternative too (NOTES.md round-5 post-mortem).  It ships
+as the reference-parity pipeline and the skew-robust splitter machinery
+shared with parallel/dist_sort, not as the default.
 
 Skew contract: adversarial inputs (massive duplicate runs) can overflow a
 slot or crowd an output block; the sort returns an `overflow` flag and
@@ -265,14 +269,26 @@ def sort_radix(planes, chunk_rows, num_cmp, interpret=False, n_valid=None,
     b0b = jnp.clip(b0 // _K, 0, p.nb_pad // _K - 2)
 
     # ---- scattering: pack runs into bucket-major padded slots -------------
+    # bounds rides as a per-chunk-blocked SMEM input (NOT scalar prefetch:
+    # the full (n_chunks, nb_pad+1) table is ~1.5 MB at 2^28 geometry and
+    # overflows the 1 MB SMEM — the r4 compile failure; see _pack_kernel)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((1, c_rows, LANES), lambda c, s: (c, 0, 0))]
+        in_specs=[
+            # bounds is (n_chunks, 1, nb_pad+1): the (1, 1, nb_pad+1) block's
+            # last two dims equal the array's, satisfying Mosaic's block
+            # shape rule for SMEM operands
+            pl.BlockSpec(
+                (1, 1, p.nb_pad + 1), lambda c: (c, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        ]
+        + [pl.BlockSpec((1, c_rows, LANES), lambda c: (c, 0, 0))]
         * n_planes,
         out_specs=[
             pl.BlockSpec(
-                (p.nb_pad, 1, p.slot_rows, LANES), lambda c, s: (0, c, 0, 0)
+                (p.nb_pad, 1, p.slot_rows, LANES), lambda c: (0, c, 0, 0)
             )
         ]
         * n_planes,
@@ -294,7 +310,7 @@ def sort_radix(planes, chunk_rows, num_cmp, interpret=False, n_valid=None,
         * n_planes,
         compiler_params=params,
         interpret=interpret,
-    )(bounds, *x3)
+    )(bounds[:, None, :], *x3)
     if n_planes == 1 and not isinstance(packed, (list, tuple)):
         packed = [packed]
 

@@ -352,5 +352,84 @@ def probe_sublane_via_t():
 PROBES["sublane_via_T"] = probe_sublane_via_t
 
 
+
+# --- batched L-tri rank: ONE matmul pair per 8-row block ---------------------
+#
+# The naive rank16/rank256 probes loop rows with degenerate (128,bins)
+# matmuls and measure loop overhead (~0.6 G), not MACs.  Batched form for
+# bins=16: OHD (128, 128) with column c = r*16+b one-hot over the block's
+# 8 rows; P = Ltri @ OHD gives every row's per-bin lane-prefix counts in
+# one (128,128)x(128,128) matmul; rank extraction is a second matmul
+# (P ⊙ OHD) @ G with G[c, r'] = [c>>4 == r'], then a (128,128) transpose.
+# 4096 MACs/elem total -> 24 G elems/s MXU ceiling.
+
+
+def _rank16b_kernel(x_ref, out_ref):
+    d = x_ref[...] & 15  # (8, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    ltri = (lane < row).astype(jnp.bfloat16)
+
+    # dT[l, r] = d[r, l] padded to (128,128); static-index lane gather
+    # spreads dT over the 8x16 column grouping
+    dpad = jnp.concatenate(
+        [d, jnp.zeros((LANES - 8, LANES), jnp.int32)], axis=0
+    )
+    dT = dpad.T  # (128 lanes, 128): col r<8 holds d[r, l]
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    r_of = c_iota >> 4  # column group -> source row (only c<128 used)
+    d_bcast = jnp.take_along_axis(dT, r_of, axis=1)  # [l, c] = d[c>>4, l]
+    ohd = (d_bcast == (c_iota & 15)).astype(jnp.bfloat16)  # (128, 128)
+
+    pfx = jax.lax.dot_general(
+        ltri, ohd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (128, 128): [l, r*16+b] prefix count
+    sel = pfx * ohd.astype(jnp.float32)
+    grp = (
+        (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0) >> 4)
+        == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    ).astype(jnp.bfloat16)  # G[c, r'] = [c>>4 == r']
+    rank_mat = jax.lax.dot_general(
+        sel.astype(jnp.bfloat16), grp,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (128 lanes, 128): col r' = rank of row r' (cols >= 8 are 0)
+    out_ref[...] = rank_mat.T[:8].astype(jnp.int32)
+
+
+def probe_rank16b():
+    R = 8
+    T = 2048  # 2M elements
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 2**31, (T * R, LANES)).astype(np.int32)
+    spec = pl.BlockSpec((R, LANES), lambda i: (i, 0))
+
+    def f(a):
+        return pl.pallas_call(
+            _rank16b_kernel,
+            grid=(T,),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((T * R, LANES), jnp.int32),
+        )(a)
+
+    xj = jnp.asarray(x)
+    out = np.asarray(jax.device_get(jax.jit(f)(xj)))
+    d = x & 15
+    want = np.zeros_like(d)
+    for row in range(d.shape[0]):
+        seen = {}
+        for l in range(LANES):
+            want[row, l] = seen.get(d[row, l], 0)
+            seen[d[row, l]] = want[row, l] + 1
+    ok = np.array_equal(out, want)
+    rate = _time_chain(lambda a: (f(a) ^ a,), (xj,), x.size)
+    print(f"rank16b: correct={ok} rate={rate/1e9:.2f} G elems/s", flush=True)
+
+
+PROBES["rank16b"] = probe_rank16b
+
+
 if __name__ == "__main__":
     main()
