@@ -83,8 +83,14 @@ def test_groupby_dense_validation():
         groupby_dense(k, v, "min", bins=16384, cfg=CFG)  # extrema cap 2^13
     with pytest.raises(ValueError):
         groupby_dense(k, v, "sum", bins=100, cfg=CFG)
+    # int32 bin ids are accepted since round 5 (bitcast identity in range);
+    # float32 keys stay rejected
+    uk_i, _, ng_i = groupby_dense(
+        k.astype(np.int32), v, "sum", bins=128, cfg=CFG
+    )
+    assert uk_i.dtype == np.int32 and int(ng_i) == 1
     with pytest.raises(TypeError):
-        groupby_dense(k.astype(np.int32), v, "sum", bins=128, cfg=CFG)
+        groupby_dense(k.astype(np.float32), v, "sum", bins=128, cfg=CFG)
     with pytest.raises(TypeError):
         groupby_dense(k, v.astype(np.float32), "sum", bins=128, cfg=CFG)
     uk, out, ng = groupby_dense(
