@@ -395,6 +395,35 @@ def _cross_stage3_kernel(num_cmp, up_ref, *refs):
             o[0, i, 0] = x
 
 
+def _cross_stage4_kernel(num_cmp, up_ref, *refs):
+    """Four fused cross substages at consecutive chunk distances 8J/4J/2J/J.
+
+    Block view per plane: (1, 16, 1, c_rows, 128) — the 4-bit field
+    indexes chunks g by bits (j+3, j+2, j+1, j); exchanges at distance 8J,
+    then 4J, 2J, J — one read+write of the array instead of four.  Same
+    direction bit (the level bit kk) for all four.  VMEM: 16 blocks ×
+    c_rows·128·4 B × ~2 live copies per plane — within the 100 MB scoped
+    limit at c_rows=1024 single-plane (the same budget _finishw_kernel
+    already proves at w=16).
+    """
+    n = len(refs) // 2
+    in_refs, out_refs = refs[:n], refs[n:]
+    a = pl.program_id(0)
+    up_i = up_ref[a]
+    b = [[r[0, i, 0] for r in in_refs] for i in range(16)]
+    for i in range(8):
+        b[i], b[i + 8] = _cross_pair(b[i], b[i + 8], up_i, num_cmp)
+    for i in (0, 1, 2, 3, 8, 9, 10, 11):
+        b[i], b[i + 4] = _cross_pair(b[i], b[i + 4], up_i, num_cmp)
+    for i in (0, 1, 4, 5, 8, 9, 12, 13):
+        b[i], b[i + 2] = _cross_pair(b[i], b[i + 2], up_i, num_cmp)
+    for i in range(0, 16, 2):
+        b[i], b[i + 1] = _cross_pair(b[i], b[i + 1], up_i, num_cmp)
+    for i in range(16):
+        for o, x in zip(out_refs, b[i]):
+            o[0, i, 0] = x
+
+
 def _finishw_kernel(num_cmp, log_c, gather, unique, m, scal_ref, *refs):
     """Fused tail of a merge level over W = 2^m chunks: the last m cross
     exchanges (chunk distances W/2 .. 1) plus all intra-chunk substages for
@@ -776,6 +805,10 @@ def _sort_pipeline(
     cross = functools.partial(_cross_stage_kernel, num_cmp)
     cross2 = functools.partial(_cross_stage2_kernel, num_cmp)
     cross3 = functools.partial(_cross_stage3_kernel, num_cmp)
+    cross4 = functools.partial(_cross_stage4_kernel, num_cmp)
+    # quad fusion needs 16 chunk-blocks resident; bound by the same VMEM
+    # budget as the finish width (2 live copies per plane per block)
+    quad_ok = c_rows * n_planes <= 1024
 
     def cross_call(kernel, width, j_low, up_bit):
         """One cross-stage pallas_call; width = 2 (single) or 4 (fused)."""
@@ -856,13 +889,18 @@ def _sort_pipeline(
         fw = 1 << (fw.bit_length() - 1)  # pow2 floor (m = log2(fw))
         m = min(kk_chunks, _log2(fw))
         # cross distances down to chunk-distance W; everything below is
-        # fused into the finish pass.  Greedy fusion: 3 consecutive
-        # distances per pass (8-block view), then 2, then 1.
+        # fused into the finish pass.  Greedy fusion: 4 consecutive
+        # distances per pass (16-block view, VMEM permitting), then 3
+        # (8-block), then 2, then 1.
         djs = list(range(kk - 1, log_c + m - 1, -1))  # consecutive, desc.
         i = 0
         while i < len(djs):
             rem = len(djs) - i
-            if rem >= 3:
+            if rem >= 4 and quad_ok:
+                j0 = djs[i + 3] - log_c
+                planes = cross_call(cross4, 16, j0, kk_chunks - j0 - 4)
+                i += 4
+            elif rem >= 3:
                 j0 = djs[i + 2] - log_c
                 planes = cross_call(cross3, 8, j0, kk_chunks - j0 - 3)
                 i += 3

@@ -169,3 +169,44 @@ def test_sort_pairs_assume_unique_radix(rng):
     order = np.argsort(keys)
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(p), payload[order])
+
+
+@pytest.mark.slow
+def test_quad_fused_cross_levels(rng):
+    import jax.numpy as jnp
+    # n=2^18 with 8-row chunks: levels 18 has kk_chunks - m >= 4 cross
+    # distances, so the 16-block quad-fused cross (_cross_stage4_kernel)
+    # is exercised (plus triple/double/single tails); keys-only and the
+    # 3-plane stable path (quad_ok covers both at these chunk sizes).
+    from radx_tpu.kernels import bitonic
+
+    n = 1 << 18
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    plane = jnp.asarray(
+        (keys ^ np.uint32(0x80000000)).astype(np.int32).reshape(-1, 128)
+    )
+    out = bitonic.sort_planes([plane], 8, 1, interpret=True)[0]
+    got = (
+        np.asarray(out).reshape(-1).astype(np.uint32)
+        ^ np.uint32(0x80000000)
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+    # stable pairs through the same levels (num_cmp=2, 3 planes)
+    m = 1 << 18
+    k2 = (rng.integers(0, 64, m)).astype(np.uint32)
+    kp = jnp.asarray(
+        (k2 ^ np.uint32(0x80000000)).astype(np.int32).reshape(-1, 128)
+    )
+    ip = jnp.asarray(np.arange(m, dtype=np.int32).reshape(-1, 128))
+    vp = jnp.asarray(
+        rng.integers(0, 2**31, m).astype(np.int32).reshape(-1, 128)
+    )
+    ko, io, vo = bitonic.sort_planes([kp, ip, vp], 8, 2, interpret=True)
+    ko = np.asarray(ko).reshape(-1).astype(np.uint32) ^ np.uint32(0x80000000)
+    io = np.asarray(io).reshape(-1)
+    vo = np.asarray(vo).reshape(-1)
+    order = np.argsort(k2, kind="stable")
+    np.testing.assert_array_equal(ko, k2[order])
+    np.testing.assert_array_equal(io, order.astype(np.int32))
+    np.testing.assert_array_equal(vo, np.asarray(vp).reshape(-1)[order])
