@@ -493,6 +493,7 @@ def _cross_stage_kernel(num_cmp, up_ref, *refs):
 
 
 FINISH_WIDTH = 16  # chunks fused per finish pass (VMEM-bounded; power of 2)
+QUAD_FUSION = True  # allow 4-distance (16-block) cross passes; A/B handle
 # measured on v5e (NOTES.md): 16 beats 8 by +2.4% at 2^23, +0.7% at 2^26
 
 
@@ -808,7 +809,7 @@ def _sort_pipeline(
     cross4 = functools.partial(_cross_stage4_kernel, num_cmp)
     # quad fusion needs 16 chunk-blocks resident; bound by the same VMEM
     # budget as the finish width (2 live copies per plane per block)
-    quad_ok = c_rows * n_planes <= 1024
+    quad_ok = QUAD_FUSION and c_rows * n_planes <= 1024
 
     def cross_call(kernel, width, j_low, up_bit):
         """One cross-stage pallas_call; width = 2 (single) or 4 (fused)."""
