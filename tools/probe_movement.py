@@ -431,5 +431,48 @@ def probe_rank16b():
 PROBES["rank16b"] = probe_rank16b
 
 
+
+def probe_global_take(logn=26):
+    """XLA global gather val[perm] by a random permutation — the primitive a
+    2-plane (key,iota) stable-pairs path + payload gather would need.
+    Measured v5e 2026-08-20: 0.140 / 0.069 / 0.069 G elems/s at
+    2^22/2^26/2^28 — 5-10x slower than the entire 3-plane stable sort, so
+    the 3-plane design stands (no TPU-native arbitrary global gather
+    exists; cf. the one-hot permute post-mortem in NOTES.md)."""
+    import time
+
+    n = 1 << logn
+    rng = np.random.default_rng(logn)
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    val = jnp.asarray(rng.integers(0, 2**31, n, dtype=np.int32))
+
+    def chain(k):
+        @jax.jit
+        def f(p, v):
+            out = v
+            for _ in range(k):
+                out = jnp.take(out, p)
+            return out
+        return f
+
+    f1, f3 = chain(1), chain(3)
+
+    def run(f):
+        t0 = time.perf_counter()
+        jax.device_get(f(perm, val)[:8])
+        return time.perf_counter() - t0
+
+    run(f1); run(f3)
+    t1 = min(run(f1) for _ in range(4))
+    t3 = min(run(f3) for _ in range(4))
+    dt = max((t3 - t1) / 2, 1e-9)
+    got = np.asarray(jax.device_get(f1(perm, val)))
+    want = np.asarray(jax.device_get(val))[np.asarray(jax.device_get(perm))]
+    ok = np.array_equal(got, want)
+    print(f"global_take 2^{logn}: correct={ok} rate={n/dt/1e9:.3f} G elems/s",
+          flush=True)
+
+
+PROBES["global_take"] = probe_global_take
 if __name__ == "__main__":
     main()
