@@ -361,14 +361,69 @@ def _decode_keys(enc, dtype):
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
+_SIGN64 = np.uint64(0x8000000000000000)
+
+
+def _encode_keys64(keys: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 encoding of 64-bit key dtypes (numpy side:
+    JAX runs x32 here, so 64-bit keys are split into two uint32 planes
+    before they ever reach a device).  Same construction as _encode_keys:
+    uint64 identity, int64 sign-bit flip, float64 sign-magnitude to
+    lexicographic (total order -inf < ... < -0.0 < +0.0 < ... < +inf <
+    nan, matching np.sort's nan-last placement)."""
+    if keys.dtype == np.uint64:
+        return keys
+    if keys.dtype == np.int64:
+        return keys.view(np.uint64) ^ _SIGN64
+    bits = keys.view(np.uint64)
+    return np.where((bits & _SIGN64) != 0, ~bits, bits | _SIGN64)
+
+
+def _decode_keys64(enc: np.ndarray, dtype) -> np.ndarray:
+    if dtype == np.uint64:
+        return enc
+    if dtype == np.int64:
+        return (enc ^ _SIGN64).view(np.int64)
+    bits = np.where((enc & _SIGN64) != 0, enc ^ _SIGN64, ~enc)
+    return bits.view(np.float64)
+
+
+def _sort_any64(keys: np.ndarray, descending: bool, cfg) -> np.ndarray:
+    """64-bit dtype sort: order-preserving uint64 encoding, split into
+    (hi, lo) uint32 planes, lexicographic two-plane engine sort
+    (sort_u64), recombine + decode.  Descending inverts both planes
+    (bit-not of the 64-bit encoding reverses the lexicographic order)."""
+    enc = _encode_keys64(keys)
+    if descending:
+        enc = ~enc
+    hi = (enc >> np.uint64(32)).astype(np.uint32)
+    lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sh, sl = sort_u64(hi, lo, cfg)
+    out = (
+        np.asarray(sh).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(sl).astype(np.uint64)
+    if descending:
+        out = ~out
+    return _decode_keys64(out, keys.dtype)
+
+
 def sort_any(keys, descending: bool = False, cfg: SortConfig | None = None):
-    """Sort uint32 / int32 / float32 keys (ascending or descending).
+    """Sort uint32 / int32 / float32 / uint64 / int64 / float64 keys
+    (ascending or descending).
 
     Implemented by order-preserving bit encodings over the uint32 engine —
     the reference supports uint32 only (SURVEY §2); wider dtype coverage is
-    part of the query-executor surface.
-    """
+    part of the query-executor surface.  64-bit dtypes take numpy arrays
+    (x32 JAX would silently truncate them) and run through the two-plane
+    lexicographic engine (sort_u64)."""
     cfg = cfg or tuned()
+    np_keys = np.asarray(keys) if isinstance(keys, np.ndarray) else None
+    if np_keys is not None and np_keys.dtype in (
+        np.dtype(np.uint64), np.dtype(np.int64), np.dtype(np.float64)
+    ):
+        if np_keys.ndim != 1:
+            raise ValueError("keys must be 1-D")
+        return _sort_any64(np_keys, descending, cfg)
     keys = jnp.asarray(keys)
     enc = _encode_keys(keys)
     if descending:

@@ -60,3 +60,41 @@ def test_sort_u64(rng):
     sh, sl = sort_mod.sort_u64(hi, lo, CFG)
     got = (np.asarray(sh).astype(np.uint64) << 32) | np.asarray(sl)
     np.testing.assert_array_equal(got, np.sort(full))
+
+
+@pytest.mark.parametrize("dtype", [np.uint64, np.int64, np.float64])
+def test_sort_any_64bit(rng, dtype):
+    n = 20000
+    if dtype == np.float64:
+        k = np.concatenate(
+            [
+                rng.normal(size=n // 2) * 1e300,
+                np.array([0.0, np.inf, -np.inf]),
+                rng.normal(size=n // 2 - 3),
+            ]
+        )
+    elif dtype == np.int64:
+        k = rng.integers(-(2**63), 2**63, n, dtype=np.int64)
+    else:
+        k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    got = sort_mod.sort_any(k, cfg=CFG)
+    assert got.dtype == dtype
+    np.testing.assert_array_equal(got, np.sort(k))
+
+
+@pytest.mark.parametrize("dtype", [np.uint64, np.int64, np.float64])
+def test_sort_any_64bit_descending(rng, dtype):
+    n = 8000
+    if dtype == np.float64:
+        k = rng.normal(size=n) * 1e300
+    else:
+        k = rng.integers(-(2**62), 2**62, n).astype(dtype)
+    got = sort_mod.sort_any(k, descending=True, cfg=CFG)
+    np.testing.assert_array_equal(got, np.sort(k)[::-1])
+
+
+def test_sort_any_float64_nan_last(rng):
+    k = np.array([3.0, np.nan, -1.0, 2.0, -0.0], np.float64)
+    got = sort_mod.sort_any(k, cfg=CFG)
+    assert np.isnan(got[-1])
+    np.testing.assert_array_equal(got[:4], np.array([-1.0, -0.0, 2.0, 3.0]))
