@@ -434,9 +434,42 @@ def sort_any(keys, descending: bool = False, cfg: SortConfig | None = None):
     return _decode_keys(out, keys.dtype)
 
 
+def _sort_pairs_any64(keys: np.ndarray, payload, descending: bool, cfg):
+    """Stable 64-bit-key pairs: LSD two-pass composition over the stable
+    engine — stable sort by the LOW uint32 half carrying (hi, payload),
+    then stable sort by the HIGH half carrying (lo, payload).  Stability of
+    each pass makes the result the unique stable (hi, lo, original-index)
+    order (the reference's own LSD argument, radx_implement.inl:421-447,
+    lifted from 8-bit digits to 32-bit halves)."""
+    enc = _encode_keys64(keys)
+    if descending:
+        enc = ~enc
+    hi = (enc >> np.uint64(32)).astype(np.uint32)
+    lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    lo_s, (hi_s, p_s) = sort_multi(lo, [hi, payload], cfg)
+    hi_f, (lo_f, p_f) = sort_multi(np.asarray(hi_s), [lo_s, p_s], cfg)
+    out = (
+        np.asarray(hi_f).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(lo_f).astype(np.uint64)
+    if descending:
+        out = ~out
+    return _decode_keys64(out, keys.dtype), p_f
+
+
 def sort_pairs_any(keys, payload, descending=False, cfg=None):
-    """Stable key+payload sort for uint32 / int32 / float32 keys."""
+    """Stable key+payload sort for uint32 / int32 / float32 keys, plus
+    uint64 / int64 / float64 numpy keys (x32 JAX would truncate them; the
+    64-bit path splits into two uint32 planes and runs a stable LSD
+    two-pass).  ±0.0 float keys order as -0.0 < +0.0 (the same total order
+    as the 32-bit float path)."""
     cfg = cfg or tuned()
+    np_keys = np.asarray(keys) if isinstance(keys, np.ndarray) else None
+    if np_keys is not None and np_keys.dtype in (
+        np.dtype(np.uint64), np.dtype(np.int64), np.dtype(np.float64)
+    ):
+        if np_keys.ndim != 1:
+            raise ValueError("keys must be 1-D")
+        return _sort_pairs_any64(np_keys, payload, descending, cfg)
     keys = jnp.asarray(keys)
     enc = _encode_keys(keys)
     if descending:

@@ -98,3 +98,35 @@ def test_sort_any_float64_nan_last(rng):
     got = sort_mod.sort_any(k, cfg=CFG)
     assert np.isnan(got[-1])
     np.testing.assert_array_equal(got[:4], np.array([-1.0, -0.0, 2.0, 3.0]))
+
+
+@pytest.mark.parametrize("dtype", [np.uint64, np.int64, np.float64])
+def test_sort_pairs_any_64bit_stable(rng, dtype):
+    n = 12000
+    if dtype == np.float64:
+        k = np.concatenate(
+            [
+                rng.normal(size=n // 2) * 1e300,
+                rng.integers(-5, 5, n // 2).astype(np.float64),
+            ]
+        )
+    else:
+        # low-entropy front half forces duplicate keys (stability matters)
+        k = rng.integers(-(2**62), 2**62, n).astype(dtype)
+        k[: n // 2] = rng.integers(0, 8, n // 2).astype(dtype)
+    p = np.arange(n, dtype=np.uint32)
+    sk, sp = sort_mod.sort_pairs_any(k, p, cfg=CFG)
+    order = np.argsort(sort_mod._encode_keys64(k), kind="stable")
+    assert sk.dtype == dtype
+    np.testing.assert_array_equal(sk, k[order])
+    np.testing.assert_array_equal(np.asarray(sp), order.astype(np.uint32))
+
+
+def test_sort_pairs_any_64bit_descending(rng):
+    n = 4096
+    k = rng.integers(0, 16, n, dtype=np.uint64)  # heavy duplicates
+    p = np.arange(n, dtype=np.uint32)
+    sk, sp = sort_mod.sort_pairs_any(k, p, descending=True, cfg=CFG)
+    order = np.argsort(~sort_mod._encode_keys64(k), kind="stable")
+    np.testing.assert_array_equal(sk, k[order])
+    np.testing.assert_array_equal(np.asarray(sp), order.astype(np.uint32))
