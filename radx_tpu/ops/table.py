@@ -63,9 +63,32 @@ class Table:
 
     # -- operators ---------------------------------------------------------
 
-    def sort_by(self, key: str, descending: bool = False,
+    def sort_by(self, key, descending=False,
                 cfg: SortConfig | None = None) -> "Table":
-        """Stable sort of all columns by one uint32/int32/float32 column."""
+        """Stable sort of all columns by one — or several —
+        uint32/int32/float32 columns.
+
+        `key` may be a column name or a list of names (primary first);
+        `descending` a bool or a per-key list.  Multi-column order is an
+        LSD composition of stable single-column passes (least-significant
+        key first) — the same stability argument as the reference's
+        per-digit pipeline (radx_implement.inl:421-447), lifted from
+        digits to whole columns."""
+        keys = [key] if isinstance(key, str) else list(key)
+        descs = (
+            [descending] * len(keys)
+            if isinstance(descending, bool)
+            else list(descending)
+        )
+        if len(descs) != len(keys):
+            raise ValueError("descending list must match key list")
+        t = self
+        for k, d in zip(reversed(keys), reversed(descs)):
+            t = t._sort_by_one(k, d, cfg)
+        return t
+
+    def _sort_by_one(self, key: str, descending: bool,
+                     cfg: SortConfig | None) -> "Table":
         cfg = cfg or tuned()
         keys = self.columns[key]
         enc = sort_ops._encode_keys(keys)

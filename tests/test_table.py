@@ -33,6 +33,44 @@ def test_sort_by_float_descending(rng):
     np.testing.assert_array_equal(out["score"], want)
 
 
+def test_sort_by_multi_column(rng):
+    t, n = _table(rng)
+    out = t.sort_by(["group", "value"], cfg=CFG).to_numpy()
+    g = np.asarray(t.column("group"))
+    v = np.asarray(t.column("value"))
+    # np.lexsort: LAST key is primary; stable
+    order = np.lexsort((np.arange(n), v, g))
+    for name in ("id", "group", "value", "score"):
+        np.testing.assert_array_equal(
+            out[name], np.asarray(t.column(name))[order]
+        )
+
+
+def test_sort_by_multi_mixed_directions(rng):
+    t, n = _table(rng)
+    out = t.sort_by(["group", "score"], descending=[False, True],
+                    cfg=CFG).to_numpy()
+    g = np.asarray(t.column("group"))
+    s = np.asarray(t.column("score"))
+    order = np.lexsort((np.arange(n), -s, g))
+    np.testing.assert_array_equal(out["group"], g[order])
+    np.testing.assert_array_equal(out["score"], s[order])
+
+
+def test_sort_by_multi_stability(rng):
+    # heavy duplicates on both keys: ties must keep original order
+    n = 4000
+    t = Table.from_arrays(
+        a=rng.integers(0, 4, n).astype(np.uint32),
+        b=rng.integers(0, 4, n).astype(np.uint32),
+        row=np.arange(n, dtype=np.uint32),
+    )
+    out = t.sort_by(["a", "b"], cfg=CFG).to_numpy()
+    a, b = np.asarray(t.column("a")), np.asarray(t.column("b"))
+    order = np.lexsort((np.arange(n), b, a))
+    np.testing.assert_array_equal(out["row"], order.astype(np.uint32))
+
+
 def test_filter_then_groupby(rng):
     t, n = _table(rng)
     g = np.asarray(t.column("group"))
