@@ -66,6 +66,8 @@ from radx_tpu.ops.sort import (  # noqa: F401,E402
     sort_u64,
 )
 from radx_tpu.ops.filter import filter_columns  # noqa: F401,E402
+from radx_tpu.ops.topk import top_k  # noqa: F401,E402
+from radx_tpu.ops.distinct import unique  # noqa: F401,E402
 from radx_tpu.ops.groupby import groupby, groupby_dense  # noqa: F401,E402
 from radx_tpu.ops.table import Table  # noqa: F401,E402
 from radx_tpu.ops.lazy import LazyTable  # noqa: F401,E402

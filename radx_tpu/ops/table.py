@@ -112,6 +112,38 @@ class Table:
         count = int(count)
         return Table({n: c[:count] for n, c in zip(names, cols)})
 
+    def distinct(self, key: str, cfg: SortConfig | None = None) -> "Table":
+        """SELECT DISTINCT ON (key): one row per distinct key value, the
+        FIRST occurrence in the original row order (stable), rows ordered
+        by key.  Built from the stable multi-plane sort + the boundary
+        compaction kernel — no gather/scatter (ops/distinct.py rationale).
+        """
+        cfg = cfg or tuned()
+        names = list(self.columns)
+        enc = sort_ops._encode_keys(self.columns[key])
+        ks, outs = sort_ops.sort_multi(
+            enc, [self.columns[n] for n in names], cfg
+        )
+        first = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), (ks[1:] != ks[:-1]).astype(jnp.int32)]
+        )
+        cols, count = filter_ops.filter_columns(first, outs, cfg)
+        count = int(count)
+        return Table({n: c[:count] for n, c in zip(names, cols)})
+
+    def top_k(self, key: str, k: int, largest: bool = True,
+              cfg: SortConfig | None = None) -> "Table":
+        """ORDER BY key DESC/ASC LIMIT k over all columns (ties keep the
+        earliest original rows) via the dedicated selection operator
+        (ops/topk.py) — skips the full sort's cross-chunk merge levels."""
+        from radx_tpu.ops.topk import top_k as _top_k
+
+        cfg = cfg or tuned()
+        _, idx = _top_k(self.columns[key], k, largest, cfg)
+        # k is tiny relative to the table; one gather of k rows per column
+        # beats threading every column through the selection planes.
+        return Table({n: c[idx] for n, c in self.columns.items()})
+
     def groupby(self, key: str, value: str, agg: str = "sum",
                 bins: int | None = None,
                 cfg: SortConfig | None = None) -> "Table":
