@@ -531,6 +531,52 @@ def argsort_sharded(
     return planes[0], planes[1], valid, overflow
 
 
+def sort_sharded_auto(
+    keys,
+    mesh: Mesh,
+    axis: str = "d",
+    cfg: SortConfig | None = None,
+    overlap: bool = True,
+    exchange: str = "flat",
+    start_capacity: int = 2,
+    max_capacity: int = 64,
+):
+    """Memory-tight distributed sort with automatic capacity escalation.
+
+    sort_sharded's recv slots are static shapes (capacity × ceil(N/D²),
+    pow2-rounded — XLA cannot size buffers from data), so the skew-safe
+    default capacity=4 makes the recv buffer ≈4–8× the shard (NOTES r5
+    memory audit: 134 MB per device for a 33.5 MB shard at L=2^23).  This
+    wrapper starts at capacity=2 — the mean per-(src,dst) count plus 2×
+    headroom for sampling noise; capacity=1 would sit exactly AT the
+    uniform mean and overflow on fluctuation — so recv ≈2–4× the shard.
+    It reads the
+    overflow flag — one host sync — and doubles capacity only when the
+    data's (src,dst) skew actually demands it: the deterministic-relaunch
+    idiom of utils/guard.py applied to slot overflow (sorting is
+    stateless, so a relaunch at higher capacity is exact, not
+    best-effort).  Worst case (globally presorted input: every source
+    shard lands on one destination) escalates to capacity ≈ D.
+
+    Returns (sorted_padded, valid, capacity_used).  Raises RuntimeError if
+    max_capacity still overflows (then N/D² slots cannot describe the
+    skew; use strategy="radix" splitter diagnostics to see why).
+    """
+    c = start_capacity
+    while True:
+        out, valid, overflow = sort_sharded(
+            keys, mesh, axis=axis, capacity=c, cfg=cfg, overlap=overlap,
+            exchange=exchange,
+        )
+        if not bool(np.any(np.asarray(jax.device_get(overflow)))):
+            return out, valid, c
+        if c >= max_capacity:
+            raise RuntimeError(
+                f"dist_sort slot overflow persists at capacity={c}"
+            )
+        c *= 2
+
+
 def collect(sorted_padded, valid):
     """Host-side: concatenate valid prefixes into one sorted numpy array."""
     rows = np.asarray(jax.device_get(sorted_padded))

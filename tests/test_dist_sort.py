@@ -356,3 +356,42 @@ def test_hier_non_pow2_falls_back_to_flat(rng):
     assert not np.asarray(jax.device_get(overflow)).any()
     got = dist_sort.collect(out, valid)
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_auto_capacity_escalation(rng):
+    # Globally presorted input is the adversarial case for per-(src,dst)
+    # slots: source shard s holds exactly splitter range s, so the (s,s)
+    # pair receives a full shard — ~D/2× the default slot.  The auto
+    # wrapper must escalate until exact, and report the capacity it used.
+    n_dev = 4
+    n = n_dev * (1 << 11)
+    keys = np.sort(rng.integers(0, 2**32, n, dtype=np.uint32))
+    mesh = make_mesh(n_dev)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = jax.device_put(
+        jnp.asarray(keys), NamedSharding(mesh, P("d"))
+    )
+    out, valid, cap = dist_sort.sort_sharded_auto(sharded, mesh, cfg=CFG)
+    assert cap > 2  # the tight default must not have been enough
+    got = dist_sort.collect(out, valid)
+    np.testing.assert_array_equal(got, keys)
+
+
+def test_auto_capacity_uniform_stays_tight(rng):
+    # Uniform data must succeed at the memory-tight capacity=1 (no
+    # escalation): the recv buffer stays ~2-4x the shard.
+    n_dev = 4
+    keys = rng.integers(0, 2**32, n_dev * (1 << 11), dtype=np.uint32)
+    mesh = make_mesh(n_dev)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = jax.device_put(
+        jnp.asarray(keys), NamedSharding(mesh, P("d"))
+    )
+    out, valid, cap = dist_sort.sort_sharded_auto(sharded, mesh, cfg=CFG)
+    assert cap == 2
+    got = dist_sort.collect(out, valid)
+    np.testing.assert_array_equal(got, np.sort(keys))
