@@ -109,6 +109,7 @@ EXTRA_CONFIGS = (
     "pairs_unique_4m",
     "groupby_4m",
     "filter_64m",
+    "topk_64m",
 )
 
 

@@ -327,6 +327,42 @@ def _filter_bench(n, name):
     return m
 
 
+def _topk_bench(n, name, k=1024):
+    import jax
+    import jax.numpy as jnp
+
+    from radx_tpu import runtime
+    from radx_tpu.config import resolve_interpret, tuned
+    from radx_tpu.ops import topk as topk_mod
+    from radx_tpu.ops.sort import _encode_keys
+    from radx_tpu.utils import time_op
+
+    cfg = tuned()
+    if resolve_interpret(cfg):
+        n = min(n, 1 << 15)
+        k = min(k, 256)
+    keys = runtime.gen_uniform(n, seed=11)
+    x = jnp.asarray(keys)
+
+    # chain with a real data dependency (an XOR by a constant keeps the
+    # uniform distribution uniform; a `* 0` fold would let XLA DCE the op)
+    def op(v):
+        tv, _ = topk_mod._top_k_jit(~_encode_keys(v), cfg, n, k, True)
+        return v ^ tv[0]
+
+    m = time_op(op, x, name=name, items=n, bytes_moved=8 * n)
+    # correctness gate: exact (value, index) order vs the stable model
+    vals, idx = topk_mod.top_k(x, k, True, cfg)
+    order = np.argsort(~keys.astype(np.uint64), kind="stable")[:k]
+    assert np.array_equal(
+        np.asarray(jax.device_get(idx)), order.astype(np.int32)
+    ), "top_k indices wrong!"
+    assert np.array_equal(
+        np.asarray(jax.device_get(vals)), keys[order]
+    ), "top_k values wrong!"
+    return m
+
+
 CONFIGS = {
     "sort_8m": lambda: _sort_bench(1 << 23, "sort_u32 2^23"),
     "sort_64m": lambda: _sort_bench(1 << 26, "sort_u32 2^26"),
@@ -350,6 +386,7 @@ CONFIGS = {
         1 << 24, "groupby_dense_min 2^24 bins=1024"
     ),
     "filter_64m": lambda: _filter_bench(1 << 26, "filter 2^26"),
+    "topk_64m": lambda: _topk_bench(1 << 26, "top_k 2^26 k=1024"),
 }
 
 
