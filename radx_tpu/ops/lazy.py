@@ -495,6 +495,48 @@ class LazyTable:
             truncated,
         )
 
+    def distinct(self, key: str) -> "LazyTable":
+        """SELECT DISTINCT ON (key), no host sync: one row per distinct
+        valid key value — the FIRST occurrence in the original row order
+        (the stable validity-aware sort guarantees it), rows ordered by
+        key.  Composes the existing lazy cores: sort_by + a boundary mask
+        + the validity-ANDing filter."""
+        t = self.sort_by(key)
+        sk = sort_ops._encode_keys(t.columns[key])
+        # boundary mask on the sorted keys; filter_lazy re-ANDs validity,
+        # so garbage rows past `count` cannot fake a boundary
+        is_first = jnp.concatenate(
+            [
+                jnp.ones((1,), jnp.int32),
+                (sk[1:] != sk[:-1]).astype(jnp.int32),
+            ]
+        )
+        return t.filter(is_first)
+
+    def top_k(self, key: str, k: int, largest: bool = True) -> "LazyTable":
+        """ORDER BY key DESC/ASC LIMIT k, no host sync: routes through the
+        flat selection engine (ops/topk.py — chunk sort + candidate
+        truncation, skipping the full sort's merge levels), then gathers
+        the k winning rows per column (k is static and small, so this
+        gather is k rows, not n).  Invalid rows get the worst work key and
+        a losing tiebreak, so they can only surface when count < k — and
+        the returned count = min(count, k) masks them."""
+        from radx_tpu.ops import topk as topk_mod
+
+        n = self.padded_rows
+        if not 1 <= k <= n:
+            raise ValueError(f"need 1 <= k <= {n}, got k={k}")
+        enc = sort_ops._encode_keys(self.columns[key])
+        work = ~enc if largest else enc
+        pos = jax.lax.iota(jnp.int32, n)
+        work = jnp.where(pos < self.count, work, jnp.uint32(0xFFFFFFFF))
+        select = k <= (self.cfg.stable_chunk_rows * LANES) // 2
+        _, idx = topk_mod._top_k_jit(work, self.cfg, n, k, select)
+        cols = {m: c[idx] for m, c in self.columns.items()}
+        return LazyTable(
+            cols, jnp.minimum(self.count, jnp.int32(k)), self.cfg
+        )
+
     def sort_by(self, key: str, descending: bool = False) -> "LazyTable":
         names = list(self.columns)
         enc = sort_ops._encode_keys(self.columns[key])

@@ -262,3 +262,45 @@ def test_groupby_dense_float32_decodes(rng, agg):
     want = np.array([fn(vals[keys == u]) for u in uniq], np.float32)
     np.testing.assert_array_equal(got["store"], uniq)
     np.testing.assert_array_equal(got[agg], want)
+
+
+def test_lazy_distinct_matches_eager(rng):
+    t = _sales(rng, n=2000)
+    got = t.lazy(CFG).distinct("store").collect().to_numpy()
+    want = t.distinct("store", cfg=CFG).to_numpy()
+    for name in ("store", "amount", "returned"):
+        np.testing.assert_array_equal(got[name], want[name])
+
+
+def test_lazy_distinct_after_filter(rng):
+    # distinct must see only valid rows: filter first, then dedupe
+    t = _sales(rng, n=2000)
+    mask = np.asarray(t.column("returned")) == 0
+    got = (
+        t.lazy(CFG).filter(mask).distinct("store").collect().to_numpy()
+    )
+    want = t.filter(mask.astype(np.int32), cfg=CFG).distinct(
+        "store", cfg=CFG
+    ).to_numpy()
+    for name in ("store", "amount", "returned"):
+        np.testing.assert_array_equal(got[name], want[name])
+
+
+def test_lazy_topk_matches_eager(rng):
+    t = _sales(rng, n=2048)
+    got = t.lazy(CFG).top_k("amount", 50).collect().to_numpy()
+    want = t.top_k("amount", 50, cfg=CFG).to_numpy()
+    for name in ("store", "amount", "returned"):
+        np.testing.assert_array_equal(got[name], want[name])
+
+
+def test_lazy_topk_k_exceeds_count(rng):
+    # after a filter leaves fewer than k valid rows, count clamps to them
+    t = _sales(rng, n=2000)
+    amounts = np.asarray(t.column("amount"))
+    mask = amounts > 490  # few survivors
+    lt = t.lazy(CFG).filter(mask).top_k("amount", 100)
+    out = lt.collect().to_numpy()
+    survivors = np.sort(amounts[mask])[::-1]
+    kept = survivors[: min(100, survivors.size)]
+    np.testing.assert_array_equal(out["amount"], kept.astype(np.uint32))
