@@ -73,9 +73,21 @@ class SortConfig:
     # sort_pairs(assume_unique=True)): measured v5e optimum 512
     # (0.963 G pairs/s vs 0.911 @1024, 2^22 — NOTES.md r4)
     rider_chunk_rows: int = 512
+    # chunk for 2-plane num_cmp=2 stable sorts (argsort's (key, iota),
+    # sort_u64's (hi, lo)): measured v5e optimum 512 (0.917/0.666 G at
+    # 2^22/2^26 vs 0.864/0.645 @256 — NOTES.md r5); 3+-plane stable paths
+    # stay at stable_chunk_rows (512 measured SLOWER there, and compile
+    # time is superlinear in substages × planes)
+    stable2_chunk_rows: int = 512
     # chunk for the mask-compaction kernel (kernels/compact.py): one grid
     # step compacts compact_chunk_rows*128 elements in VMEM
     compact_chunk_rows: int = 1024
+    # chunk for the top_k selection phase (ops/topk.py, num_cmp=2
+    # (key, index) chunk sort): measured v5e optimum 512 (1.84 G keys/s at
+    # 2^26 vs 1.74 @256, 1.49 @1024, 1.29 @128 — NOTES.md r5).  A distinct
+    # kernel shape from the rider/stable paths; tools/warm_cache.py
+    # precompiles it ("topk" config)
+    topk_chunk_rows: int = 512
     interpret: bool | None = None  # None → auto (interpret iff no TPU)
 
     @property
@@ -102,7 +114,8 @@ class SortConfig:
         if self.strategy not in ("bitonic", "radix", "lax"):
             raise ValueError(f"unknown sort strategy {self.strategy!r}")
         for cr in (self.chunk_rows, self.stable_chunk_rows,
-                   self.rider_chunk_rows, self.compact_chunk_rows):
+                   self.rider_chunk_rows, self.compact_chunk_rows,
+                   self.topk_chunk_rows, self.stable2_chunk_rows):
             if cr < 8 or cr & (cr - 1):
                 raise ValueError("chunk rows must be a power of two >= 8")
 
@@ -147,7 +160,8 @@ TUNING: dict[str, dict] = {
                "rider_chunk_rows": 512},
     # interpret-mode CI (CPU): tiny chunks keep interpreter wall time sane
     "cpu": {"chunk_rows": 64, "stable_chunk_rows": 64,
-            "rider_chunk_rows": 64, "compact_chunk_rows": 64},
+            "rider_chunk_rows": 64, "compact_chunk_rows": 64,
+            "topk_chunk_rows": 64, "stable2_chunk_rows": 64},
 }
 
 

@@ -530,7 +530,7 @@ class LazyTable:
         work = ~enc if largest else enc
         pos = jax.lax.iota(jnp.int32, n)
         work = jnp.where(pos < self.count, work, jnp.uint32(0xFFFFFFFF))
-        select = k <= (self.cfg.stable_chunk_rows * LANES) // 2
+        select = k <= (self.cfg.topk_chunk_rows * LANES) // 2
         _, idx = topk_mod._top_k_jit(work, self.cfg, n, k, select)
         cols = {m: c[idx] for m, c in self.columns.items()}
         return LazyTable(

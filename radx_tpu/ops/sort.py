@@ -52,7 +52,15 @@ def _engine(planes, cfg: SortConfig, num_cmp: int, n: int,
     """
     interpret = resolve_interpret(cfg)
     if num_cmp > 1:
-        chunk_rows = cfg.stable_chunk_rows
+        # 2-plane stable sorts (argsort's (key, iota), sort_u64's
+        # (hi, lo)) run a taller chunk than the 3+-plane paths: measured
+        # faster (config.stable2_chunk_rows note) and compile-safe at 2
+        # planes
+        chunk_rows = (
+            cfg.stable2_chunk_rows
+            if len(planes) == 2
+            else cfg.stable_chunk_rows
+        )
     elif len(planes) > 1:
         chunk_rows = cfg.rider_chunk_rows  # 2-plane (key, rider) optimum
     else:

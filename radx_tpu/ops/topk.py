@@ -67,7 +67,7 @@ def _top_k_jit(work, cfg: SortConfig, n: int, k: int, select: bool):
     requested output order (largest-first passes the bit-complement).
     Returns (work_sorted[:k], indices[:k])."""
     interpret = resolve_interpret(cfg)
-    c_rows = cfg.stable_chunk_rows
+    c_rows = cfg.topk_chunk_rows
     total = _pad_len(n)
     kp = _key_plane(work, total)  # pads _PAD_KEY -> sort to the end
     ip = _iota_plane(total)  # pad indices >= n break pad ties last
@@ -108,7 +108,7 @@ def top_k(keys, k: int, largest: bool = True,
     # The candidate pass pays one extra read+write of N; it wins once the
     # skipped merge levels exceed that — in practice when the per-chunk
     # truncation actually discards most rows.  Otherwise sort outright.
-    select = k <= (cfg.stable_chunk_rows * LANES) // 2
+    select = k <= (cfg.topk_chunk_rows * LANES) // 2
     wk, idx = _top_k_jit(work, cfg, n, k, select)
     if largest:
         wk = ~wk

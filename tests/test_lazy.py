@@ -15,7 +15,7 @@ from radx_tpu.config import SortConfig
 from radx_tpu.ops.lazy import LazyTable
 from radx_tpu.ops.table import Table
 
-CFG = SortConfig(chunk_rows=8, stable_chunk_rows=8)
+CFG = SortConfig(chunk_rows=8, stable_chunk_rows=8, topk_chunk_rows=8)
 
 
 def _sales(rng, n=3000):

@@ -10,8 +10,8 @@ from radx_tpu.ops import sort as sort_mod
 from radx_tpu.ops.topk import top_k
 
 # small chunks: the candidate pass engages already at a few thousand rows
-CFG = SortConfig(chunk_rows=8, stable_chunk_rows=8)
-CFG_LAXLIKE = SortConfig(chunk_rows=8, stable_chunk_rows=64)
+CFG = SortConfig(chunk_rows=8, topk_chunk_rows=8)
+CFG_LAXLIKE = SortConfig(chunk_rows=8, topk_chunk_rows=64)
 
 
 def _np_topk(keys, k, largest):

@@ -100,17 +100,39 @@ def warm_rider(sizes, cfg, interpret):
         )
 
 
+def warm_topk(sizes, cfg, interpret):
+    """The top_k selection path: the num_cmp=2 (key, index) chunk sort at
+    topk_chunk_rows plus the small final sort (ops/topk.py)."""
+    import jax
+
+    from radx_tpu.ops import topk as topk_mod
+
+    for n in sizes:
+        for k in (1024,):
+            _compile(
+                f"top_k n=2^{n.bit_length() - 1} k={k}",
+                lambda w, n=n, k=k: topk_mod._top_k_jit(
+                    w, cfg, n, k, True
+                ),
+                # traced uint32 work keys (already encoded/complemented)
+                jax.ShapeDtypeStruct((n,), np.uint32),
+            )
+
+
 CONFIGS = {
     "sort_bitonic": warm_sort_bitonic,
     "sort_radix": warm_sort_radix,
     "pairs": warm_pairs,
     "rider": warm_rider,
+    "topk": warm_topk,
 }
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="sort_bitonic,sort_radix,pairs,rider")
+    ap.add_argument(
+        "--configs", default="sort_bitonic,sort_radix,pairs,rider,topk"
+    )
     ap.add_argument("--min-log2", type=int, default=22)
     ap.add_argument("--max-log2", type=int, default=28)
     args = ap.parse_args(argv)
