@@ -24,10 +24,13 @@ from radx_tpu.kernels import segscan
 from radx_tpu.ops import sort as sort_ops
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _join_merge_jit(build_keys, build_vals, probe_keys, probe_vals, cfg):
-    """Gather-free single-match join core: tagged union sort + segmented
-    forward-fill.  Returns full tagged-sorted arrays (see join_merge)."""
+@functools.partial(jax.jit, static_argnames=("cfg", "how"))
+def _join_merge_jit(build_keys, build_vals, probe_keys, probe_vals, missing,
+                    cfg, how="inner"):
+    """Gather-free single/left-match join core: tagged union sort +
+    segmented forward-fill.  Returns full tagged-sorted arrays (see
+    join_merge).  how="left" keeps every probe row, substituting `missing`
+    (a scalar of build_vals' dtype) where no build key matched."""
     nb, np_ = build_keys.shape[0], probe_vals.shape[0]
     n = nb + np_
     keys = jnp.concatenate([build_keys, probe_keys])
@@ -82,7 +85,11 @@ def _join_merge_jit(build_keys, build_vals, probe_keys, probe_vals, cfg):
         skey, sbval, "fill", cfg.stable_chunk_rows,
         resolve_interpret(cfg), has=is_build,
     )
-    keep = (has & ~is_build).astype(jnp.int32)
+    if how == "left":
+        keep = (~is_build).astype(jnp.int32)
+        filled = jnp.where(has, filled, missing)
+    else:
+        keep = (has & ~is_build).astype(jnp.int32)
     skey_u32 = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ jnp.uint32(
         0x80000000
     )
@@ -90,8 +97,13 @@ def _join_merge_jit(build_keys, build_vals, probe_keys, probe_vals, cfg):
 
 
 def join_merge(build_keys, build_vals, probe_keys, probe_vals,
-               cfg: SortConfig | None = None):
-    """Scalable inner join (single match per probe row).
+               cfg: SortConfig | None = None, how: str = "inner",
+               missing=None):
+    """Scalable inner or left join (single match per probe row).
+
+    how="left" keeps EVERY probe row (SQL LEFT JOIN): unmatched rows carry
+    `missing` as the build value (default: zero of build_vals' dtype).
+    Right joins are the same call with the sides swapped.
 
     Tagged union sort (Pallas pipeline) + one associative forward-fill scan
     + pipeline compaction — no searchsorted, no gather, no scatter, so it
@@ -119,8 +131,15 @@ def join_merge(build_keys, build_vals, probe_keys, probe_vals,
     enc_p = sort_ops._encode_keys(probe_keys)
     if build_keys.shape[0] >= 1 << 30 or probe_keys.shape[0] >= 1 << 30:
         raise ValueError("join_merge supports up to 2^30-1 rows per side")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    missing = (
+        jnp.zeros((), build_vals.dtype)
+        if missing is None
+        else jnp.asarray(missing, build_vals.dtype)
+    )
     skey, bval, pval, keep = _join_merge_jit(
-        enc_b, build_vals, enc_p, probe_vals, cfg
+        enc_b, build_vals, enc_p, probe_vals, missing, cfg, how
     )
     from radx_tpu.ops.filter import filter_columns
 

@@ -172,19 +172,25 @@ class Table:
         return Table({key: uk[:ng], agg: out[:ng]})
 
     def join(self, other: "Table", on: str, value: str, other_value: str,
-             max_matches: int = 1, cfg: SortConfig | None = None) -> "Table":
-        """Inner join with `other` on column `on` (other = build side).
+             max_matches: int = 1, how: str = "inner", missing=None,
+             cfg: SortConfig | None = None) -> "Table":
+        """Inner or left join with `other` on column `on` (build side).
 
         max_matches == 1 (default) uses the scalable gather-free tagged
         merge join (duplicate build keys resolve to the last build row);
-        larger values use the searchsorted expansion path.
+        larger values use the searchsorted expansion path.  how="left"
+        (max_matches == 1 only) keeps every row of THIS table, with
+        `missing` (default 0) as other_value where no key matched.
         """
         cfg = cfg or tuned()
         names = [on, value, other_value]
+        if how != "inner" and max_matches != 1:
+            raise ValueError("how='left' requires max_matches == 1")
         if max_matches == 1:
             k, bv, pv, count = join_ops.join_merge(
                 other.columns[on], other.columns[other_value],
                 self.columns[on], self.columns[value], cfg=cfg,
+                how=how, missing=missing,
             )
             count = int(count)
             return Table(

@@ -220,3 +220,67 @@ def test_join_merge_multi_matches_numpy(rng):
     ]
     assert bool(trunc) == truncated_ref
     assert sorted(got) == sorted(want)
+
+
+def test_join_merge_left(rng):
+    from radx_tpu.ops.join import join_merge
+
+    nb, npr = 3000, 5000
+    bk = rng.permutation(20_000)[:nb].astype(np.uint32)
+    bv = rng.integers(1, 2**32, nb, dtype=np.uint32)
+    pk = rng.integers(0, 40_000, npr).astype(np.uint32)  # ~half unmatched
+    pv = np.arange(npr, dtype=np.uint32)
+    k, b, p, count = join_merge(
+        bk, bv, pk, pv, cfg=CFG, how="left", missing=np.uint32(0)
+    )
+    count = int(count)
+    assert count == npr  # LEFT JOIN: every probe row survives
+    bmap = dict(zip(bk.tolist(), bv.tolist()))
+    expect = sorted(
+        (int(pk[i]), int(pv[i]), bmap.get(int(pk[i]), 0))
+        for i in range(npr)
+    )
+    got = sorted(
+        zip(
+            np.asarray(k)[:count].tolist(),
+            np.asarray(p)[:count].tolist(),
+            np.asarray(b)[:count].tolist(),
+        )
+    )
+    assert got == expect
+
+
+def test_join_merge_left_missing_value_and_dup_builds(rng):
+    from radx_tpu.ops.join import join_merge
+
+    bk = np.array([7, 7, 9], np.uint32)
+    bv = np.array([70, 71, 90], np.uint32)
+    pk = np.array([7, 9, 8], np.uint32)
+    pv = np.array([1, 2, 3], np.uint32)
+    k, b, p, count = join_merge(
+        bk, bv, pk, pv, cfg=CFG, how="left", missing=np.uint32(0xDEAD)
+    )
+    count = int(count)
+    rows = sorted(
+        zip(np.asarray(k)[:count].tolist(), np.asarray(p)[:count].tolist(),
+            np.asarray(b)[:count].tolist())
+    )
+    assert rows == [(7, 1, 71), (8, 3, 0xDEAD), (9, 2, 90)]
+
+
+def test_table_join_left(rng):
+    from radx_tpu.ops.table import Table
+
+    left = Table.from_arrays(
+        k=np.array([1, 2, 3, 4], np.uint32),
+        v=np.array([10, 20, 30, 40], np.uint32),
+    )
+    right = Table.from_arrays(
+        k=np.array([2, 4], np.uint32),
+        w=np.array([200, 400], np.uint32),
+    )
+    out = left.join(right, on="k", value="v", other_value="w",
+                    how="left", cfg=CFG).to_numpy()
+    rows = sorted(zip(out["k"].tolist(), out["v"].tolist(),
+                      out["w"].tolist()))
+    assert rows == [(1, 10, 0), (2, 20, 200), (3, 30, 0), (4, 40, 400)]
