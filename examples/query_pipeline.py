@@ -42,6 +42,17 @@ def main():
     )
     top = with_region.sort_by("sum", descending=True, cfg=CFG)
 
+    # selection + dedup operators on the same tables
+    best3 = per_store.top_k("sum", 3, cfg=CFG)          # ORDER BY ... LIMIT 3
+    regions = stores.distinct("region", cfg=CFG)        # SELECT DISTINCT
+    assert best3.num_rows == 3 and regions.num_rows == 7
+    # LEFT JOIN: stores with no sales still appear, with sum = 0
+    all_stores = stores.join(
+        per_store, on="store", value="region", other_value="sum",
+        how="left", cfg=CFG,
+    )
+    assert all_stores.num_rows == stores.num_rows
+
     out = top.to_numpy()
     print("top 5 stores by non-returned sales:")
     for i in range(5):
