@@ -72,4 +72,4 @@ from radx_tpu.ops.groupby import groupby, groupby_dense  # noqa: F401,E402
 from radx_tpu.ops.table import Table  # noqa: F401,E402
 from radx_tpu.ops.lazy import LazyTable  # noqa: F401,E402
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
