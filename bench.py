@@ -31,7 +31,7 @@ import time
 
 import numpy as np
 
-REPEATS = 5
+REPEATS = 9  # min-of-9: more chances to catch an uncontended window
 ITERS = 8
 
 

@@ -577,6 +577,36 @@ def sort_sharded_auto(
         c *= 2
 
 
+def sort_pairs_sharded_auto(
+    keys,
+    values,
+    mesh: Mesh,
+    axis: str = "d",
+    cfg: SortConfig | None = None,
+    stable: bool = False,
+    overlap: bool = True,
+    exchange: str = "flat",
+    start_capacity: int = 2,
+    max_capacity: int = 64,
+):
+    """sort_sharded_auto for key+payload shards: same memory-tight
+    capacity-escalation contract (see sort_sharded_auto), returning
+    (sorted_keys, sorted_values, valid, capacity_used)."""
+    c = start_capacity
+    while True:
+        k, v, valid, overflow = sort_pairs_sharded(
+            keys, values, mesh, axis=axis, capacity=c, cfg=cfg,
+            stable=stable, overlap=overlap, exchange=exchange,
+        )
+        if not bool(np.any(np.asarray(jax.device_get(overflow)))):
+            return k, v, valid, c
+        if c >= max_capacity:
+            raise RuntimeError(
+                f"dist_sort slot overflow persists at capacity={c}"
+            )
+        c *= 2
+
+
 def collect(sorted_padded, valid):
     """Host-side: concatenate valid prefixes into one sorted numpy array."""
     rows = np.asarray(jax.device_get(sorted_padded))

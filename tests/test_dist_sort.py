@@ -395,3 +395,26 @@ def test_auto_capacity_uniform_stays_tight(rng):
     assert cap == 2
     got = dist_sort.collect(out, valid)
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_auto_capacity_pairs(rng):
+    # the pairs variant escalates the same way and keeps payloads attached
+    n_dev = 4
+    n = n_dev * (1 << 11)
+    keys = np.sort(rng.integers(0, 2**32, n, dtype=np.uint32))  # worst case
+    vals = rng.integers(0, 2**32, n, dtype=np.uint32)
+    mesh = make_mesh(n_dev)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sk = jax.device_put(jnp.asarray(keys), NamedSharding(mesh, P("d")))
+    sv = jax.device_put(jnp.asarray(vals), NamedSharding(mesh, P("d")))
+    k, v, valid, cap = dist_sort.sort_pairs_sharded_auto(
+        sk, sv, mesh, cfg=CFG, stable=True
+    )
+    assert cap > 2
+    gk = dist_sort.collect(k, valid)
+    gv = dist_sort.collect(v, valid)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, vals[order])
