@@ -46,7 +46,11 @@ def _chain_time(make_fn, keys, k=5):
     run(f1); run(fk)  # compile
     t1 = min(run(f1) for _ in range(3))
     tk = min(run(fk) for _ in range(3))
-    return (tk - t1) / (k - 1)
+    # clamp: host contention can make tk < t1 (the relay dispatch is
+    # CPU-sensitive), which would report a negative rate — floor at ~0
+    # like bench.py so a noisy sweep reads as "absurdly fast", never
+    # negative; re-run on an idle host before recording TUNING entries
+    return max((tk - t1) / (k - 1), 1e-9)
 
 
 def sweep_chunk_rows(n, candidates=(512, 1024, 2048, 4096)):
@@ -102,6 +106,67 @@ def sweep_stable_chunk_rows(n, candidates=(128, 256, 512)):
     return max(rows, key=lambda r: r[1]) if rows else None
 
 
+def sweep_stable2_chunk_rows(n, candidates=(256, 512, 1024)):
+    """2-plane num_cmp=2 stable sort (argsort/sort_u64) vs
+    stable2_chunk_rows — taller chunks than the 3+-plane paths are both
+    compile-safe and measured faster on v5e (NOTES.md r5)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    keys = jax.device_put(
+        rng.integers(-2**31, 2**31, n).astype(np.int32)
+    )
+    rows = []
+    for cr in candidates:
+        cfg = SortConfig(stable2_chunk_rows=cr)
+
+        def op(ks, cfg=cfg):
+            from radx_tpu.kernels import bitonic
+
+            ip = jax.lax.iota(jnp.int32, n).reshape(-1, 128)
+            o = bitonic.sort_planes(
+                [ks.reshape(-1, 128), ip], cfg.stable2_chunk_rows, 2
+            )
+            return o[0].reshape(-1)
+
+        try:
+            dt = _chain_time(op, keys)
+            gps = n / dt / 1e9
+            rows.append((cr, gps))
+            print(f"  argsort stable2_chunk_rows={cr:4d}: {gps:6.3f} "
+                  f"G keys/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"  argsort stable2_chunk_rows={cr:4d}: failed "
+                  f"{repr(e)[:120]}", flush=True)
+    return max(rows, key=lambda r: r[1]) if rows else None
+
+
+def sweep_topk_chunk_rows(n, k=1024, candidates=(256, 512, 1024)):
+    """top_k selection throughput vs topk_chunk_rows."""
+    from radx_tpu.ops import topk as topk_mod
+
+    rng = np.random.default_rng(3)
+    keys = jax.device_put(rng.integers(0, 2**32, n, dtype=np.uint32))
+    rows = []
+    for cr in candidates:
+        cfg = SortConfig(topk_chunk_rows=cr)
+
+        def op(ks, cfg=cfg):
+            tv, _ = topk_mod._top_k_jit(~ks, cfg, n, k, True)
+            return ks ^ tv[0]
+
+        try:
+            dt = _chain_time(op, keys)
+            gps = n / dt / 1e9
+            rows.append((cr, gps))
+            print(f"  top_k topk_chunk_rows={cr:4d}: {gps:6.3f} G keys/s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"  top_k topk_chunk_rows={cr:4d}: failed "
+                  f"{repr(e)[:120]}", flush=True)
+    return max(rows, key=lambda r: r[1]) if rows else None
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     lg = int(args[0]) if args else 24
@@ -111,6 +176,8 @@ def main():
 
     best = sweep_chunk_rows(n)
     stable = sweep_stable_chunk_rows(min(n, 1 << 22))
+    stable2 = sweep_stable2_chunk_rows(min(n, 1 << 22))
+    topk = sweep_topk_chunk_rows(min(n, 1 << 24))
 
     # chunk_rows serves both strategies; pick the bitonic optimum (the
     # radix path's phase-1/phase-C chunk sorts share it).
@@ -119,6 +186,10 @@ def main():
         entry["chunk_rows"] = best["bitonic"][0]
     if stable:
         entry["stable_chunk_rows"] = stable[0]
+    if stable2:
+        entry["stable2_chunk_rows"] = stable2[0]
+    if topk:
+        entry["topk_chunk_rows"] = topk[0]
     result = {
         "device_kind": kind,
         "tuning_entry": entry,
@@ -126,6 +197,9 @@ def main():
             **{f"{s}_GkeysPerS_at_2^{lg}": round(v, 3)
                for s, (_, v) in best.items()},
             **({"pairs_GkeysPerS": round(stable[1], 3)} if stable else {}),
+            **({"argsort_GkeysPerS": round(stable2[1], 3)}
+               if stable2 else {}),
+            **({"topk_GkeysPerS": round(topk[1], 3)} if topk else {}),
         },
     }
     print(json.dumps(result))
